@@ -1,0 +1,52 @@
+"""EDSR — residual conv trunk without BN (BASELINE config 3).
+
+EDSR-baseline: 16 resblocks x 64 features, res_scale 1.0; EDSR-full:
+32 x 256, res_scale 0.1. Sub-pixel upsampler. RGB inputs subtract the
+DIV2K channel mean (learned-free shift) when in_channels == 3.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from superresolution_tpu.models.common import Conv, PixelShuffleUpsampler
+
+_DIV2K_MEAN = (0.4488, 0.4371, 0.4040)
+
+
+class ResBlock(nn.Module):
+    features: int
+    res_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.features)(x)
+        y = nn.relu(y)
+        y = Conv(self.features)(y)
+        return x + y * jnp.asarray(self.res_scale, x.dtype)
+
+
+class EDSR(nn.Module):
+    scale: int = 4
+    in_channels: int = 3
+    out_channels: int = 3
+    features: int = 64
+    num_blocks: int = 16
+    res_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = None
+        if self.in_channels == 3:
+            mean = jnp.asarray(_DIV2K_MEAN, x.dtype)
+            x = x - mean
+        x = head = Conv(self.features)(x)
+        for _ in range(self.num_blocks):
+            x = ResBlock(self.features, self.res_scale)(x)
+        x = Conv(self.features)(x) + head
+        x = PixelShuffleUpsampler(self.scale, self.features)(x)
+        x = Conv(self.out_channels)(x)
+        if mean is not None:
+            x = x + mean
+        return x

@@ -1,0 +1,275 @@
+"""HATLite — windowed-attention SR refiner (stage 2 of the reference hybrid).
+
+Capability target: the reference's HAT stage (reference:
+src/architecture.py:51-61 — embed 96, depths [6,6,6,6], heads [6,6,6,6],
+window 8, mlp_ratio 2, conv_scale 0.01, pixelshuffle upsampler; the Backup
+'H200' config uses embed 120, depths [6]*6, window 16,
+Backup/src/architecture.py:48-68).
+
+TPU-first design notes rather than a port:
+  * window partition/merge are reshape/transposes — zero-copy layout ops
+    XLA folds into the surrounding matmuls;
+  * attention is batched einsum over [B*nWindows, ws*ws, C] so every matmul
+    is large and MXU-shaped; with ws=8 the sequence length is 64 and heads
+    pack densely;
+  * shifted windows use jnp.roll + a statically precomputed Swin-style mask
+    (host-side numpy at trace time, no dynamic shapes);
+  * HAT's channel-attention conv branch (CAB) runs in parallel with W-MSA
+    inside each block, scaled by `conv_scale`;
+  * HAT's overlapping cross-attention block (OCAB, overlap_ratio 0.5) is
+    realized as windowed cross-attention where K/V windows are enlarged by
+    the overlap via an unfold expressed as strided slicing.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superresolution_tpu.models.common import Conv, PixelShuffleUpsampler
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """[B,H,W,C] -> [B*nH*nW, ws*ws, C]."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_merge(x: jnp.ndarray, ws: int, hw: tuple[int, int]) -> jnp.ndarray:
+    """[B*nH*nW, ws*ws, C] -> [B,H,W,C]."""
+    h, w = hw
+    c = x.shape[-1]
+    b = x.shape[0] // ((h // ws) * (w // ws))
+    x = x.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+@lru_cache(maxsize=None)
+def _relative_position_index(ws: int) -> np.ndarray:
+    """Swin relative-position index table for a ws x ws window."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, n, n]
+    rel = rel.transpose(1, 2, 0) + (ws - 1)
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Swin shifted-window attention mask: [nWindows, n, n] of 0 / -inf."""
+    img = np.zeros((h, w), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, ws * ws)
+    diff = win[:, :, None] - win[:, None, :]
+    return np.where(diff == 0, 0.0, -1e9).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+        """x: [nB, n, C] windows; mask: [nW, n, n] or None."""
+        nb, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        qkv = nn.Dense(3 * c, dtype=x.dtype, param_dtype=jnp.float32)(x)
+        q, k, v = jnp.split(qkv.reshape(nb, n, 3, nh, hd)
+                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
+        q, k, v = q[0], k[0], v[0]  # [nb, nh, n, hd]
+        scale = jnp.asarray(hd, jnp.float32) ** -0.5
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        rpb_table = self.param(
+            "rel_pos_bias",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, nh), jnp.float32)
+        idx = jnp.asarray(_relative_position_index(self.window_size))
+        bias = rpb_table[idx.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
+        attn = attn + bias[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(nb // nw, nw, nh, n, n) + mask[None, :, None]
+            attn = attn.reshape(nb, nh, n, n)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+        return nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(out)
+
+
+class ChannelAttentionBlock(nn.Module):
+    """HAT's CAB: conv -> GELU -> conv -> squeeze-excite channel attention."""
+
+    dim: int
+    compress_ratio: int = 3
+    squeeze_factor: int = 30
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = Conv(self.dim // self.compress_ratio)(x)
+        y = nn.gelu(y)
+        y = Conv(self.dim)(y)
+        # channel attention
+        s = jnp.mean(y, axis=(1, 2), keepdims=True)
+        s = nn.relu(nn.Dense(max(1, self.dim // self.squeeze_factor),
+                             dtype=y.dtype, param_dtype=jnp.float32)(s))
+        s = nn.sigmoid(nn.Dense(self.dim, dtype=y.dtype,
+                                param_dtype=jnp.float32)(s))
+        return y * s
+
+
+class HABlock(nn.Module):
+    """Hybrid attention block: (shifted) W-MSA + conv_scale * CAB, then MLP."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: int
+    mlp_ratio: float = 2.0
+    conv_scale: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        ws = self.window_size
+        y = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        cab = ChannelAttentionBlock(c)(y)
+        if self.shift:
+            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(h, w, ws, self.shift))
+        else:
+            mask = None
+        wins = window_partition(y, ws)
+        wins = WindowAttention(c, self.num_heads, ws)(wins, mask)
+        y = window_merge(wins, ws, (h, w))
+        if self.shift:
+            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        x = x + y + jnp.asarray(self.conv_scale, x.dtype) * cab
+        z = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        z = nn.Dense(int(c * self.mlp_ratio), dtype=x.dtype,
+                     param_dtype=jnp.float32)(z)
+        z = nn.gelu(z)
+        z = nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(z)
+        return x + z
+
+
+class OverlappingCrossAttention(nn.Module):
+    """HAT's OCAB: Q from ws-windows, K/V from (1+overlap)*ws windows gathered
+    with stride ws — implemented as an extract-patches conv-free unfold."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    overlap_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        ws = self.window_size
+        ows = int(ws * (1 + self.overlap_ratio))
+        pad = (ows - ws) // 2
+        y = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        q = window_partition(y, ws)  # [nB, ws*ws, C]
+        kv = nn.Dense(2 * c, dtype=x.dtype, param_dtype=jnp.float32)(y)
+        kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        # unfold overlapping windows: for each (i,j) offset of the enlarged
+        # window, gather the strided grid — static loop of owsxows slices.
+        nh_w, nw_w = h // ws, w // ws
+        patches = []
+        for di in range(ows):
+            rows = kv[:, di::ws][:, :nh_w]
+            for dj in range(ows):
+                cols = rows[:, :, dj::ws][:, :, :nw_w]
+                patches.append(cols)  # [B, nh_w, nw_w, 2C]
+        kvw = jnp.stack(patches, axis=3)  # [B, nh_w, nw_w, ows*ows, 2C]
+        kvw = kvw.reshape(b * nh_w * nw_w, ows * ows, 2 * c)
+        k, v = jnp.split(kvw, 2, axis=-1)
+        nh = self.num_heads
+        hd = c // nh
+        qd = nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(q)
+        qh = qd.reshape(-1, ws * ws, nh, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
+        scale = jnp.asarray(hd, jnp.float32) ** -0.5
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
+        out = nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(out)
+        y = window_merge(out, ws, (h, w))
+        x = x + y
+        z = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        z = nn.Dense(int(c * 2), dtype=x.dtype, param_dtype=jnp.float32)(z)
+        z = nn.gelu(z)
+        z = nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(z)
+        return x + z
+
+
+class ResidualGroup(nn.Module):
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 2.0
+    conv_scale: float = 0.01
+    overlap_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = x
+        for i in range(self.depth):
+            shift = 0 if i % 2 == 0 else self.window_size // 2
+            y = HABlock(self.dim, self.num_heads, self.window_size, shift,
+                        self.mlp_ratio, self.conv_scale)(y)
+        y = OverlappingCrossAttention(self.dim, self.num_heads,
+                                      self.window_size, self.overlap_ratio)(y)
+        return x + Conv(self.dim)(y)
+
+
+class HATLite(nn.Module):
+    scale: int = 2
+    in_channels: int = 1
+    out_channels: int = 1
+    embed_dim: int = 96
+    depths: tuple[int, ...] = (6, 6, 6, 6)
+    num_heads: tuple[int, ...] = (6, 6, 6, 6)
+    window_size: int = 8
+    mlp_ratio: float = 2.0
+    conv_scale: float = 0.01
+    overlap_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        ws = self.window_size
+        ph = (ws - h % ws) % ws
+        pw = (ws - w % ws) % ws
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        feat = Conv(self.embed_dim)(x)
+        y = feat
+        for depth, heads in zip(self.depths, self.num_heads):
+            y = ResidualGroup(self.embed_dim, depth, heads, ws,
+                              self.mlp_ratio, self.conv_scale,
+                              self.overlap_ratio)(y)
+        y = Conv(self.embed_dim)(y) + feat
+        y = PixelShuffleUpsampler(self.scale, self.embed_dim)(y)
+        y = Conv(self.out_channels)(y)
+        if ph or pw:
+            y = y[:, : h * self.scale, : w * self.scale]
+        return y

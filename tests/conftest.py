@@ -1,0 +1,27 @@
+"""Test harness: force an 8-device virtual CPU mesh so sharding/collective
+code paths are exercised without TPU hardware (SURVEY.md section 4)."""
+
+import os
+
+# Force CPU: unit tests must not depend on (or monopolize) the TPU; set
+# SRTPU_TEST_PLATFORM to override for on-hardware runs. The environment's
+# sitecustomize imports jax before this file runs, so the env var alone is
+# too late — use jax.config.update as well.
+_platform = os.environ.get("SRTPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
