@@ -113,7 +113,7 @@ def jpeg_compress(x: jnp.ndarray, quality: jnp.ndarray) -> jnp.ndarray:
     blocks = v.reshape(h // 8, 8, w // 8, 8, c).transpose(0, 2, 4, 1, 3)  # [bh,bw,c,8,8]
     coef = jnp.einsum("ki,...ij,lj->...kl", d, blocks, d, precision="highest")
     coef = jnp.round(coef / qtab) * qtab
-    rec = jnp.einsum("ik,...kl,jl->...ij", d, coef, d, precision="highest")
+    rec = jnp.einsum("ki,...kl,lj->...ij", d, coef, d, precision="highest")
     out = rec.transpose(0, 3, 1, 4, 2).reshape(h, w, c)
     return jnp.clip((out + 128.0) / 255.0, 0.0, 1.0)
 
