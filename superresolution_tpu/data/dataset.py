@@ -1,0 +1,123 @@
+"""Datasets: manifest-driven paired patches and procedural synthetic HR.
+
+PairedDataset replicates the reference loader contract (reference:
+src/dataset.py:14-95): items are {'lr': [h,w,1], 'hr': [H,W,1]} float32 in
+[0,1], with a black-tensor fallback on load error (reference:
+src/dataset.py:45-48). Augmentation happens on-device (data/augment.py),
+not here — host code only decodes.
+
+SyntheticHRDataset makes every preset runnable with zero downloads:
+deterministic procedural images (starfields for 1-channel astro configs,
+multi-scale gradients/textures for RGB) keyed by (seed, index).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from superresolution_tpu.data.io import load_image
+from superresolution_tpu.data.manifest import load_manifest
+
+
+class PairedDataset:
+    """Real LR/HR pairs from a JSON manifest."""
+
+    def __init__(self, manifest_path: str, base_path: str = "",
+                 lr_size: int | None = None, hr_size: int | None = None):
+        self.entries = load_manifest(manifest_path)
+        self.base = base_path
+        self.lr_size = lr_size
+        self.hr_size = hr_size
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def _resolve(self, p: str) -> str:
+        import os
+        return p if os.path.isabs(p) else os.path.join(self.base, p)
+
+    def __getitem__(self, i: int) -> dict[str, np.ndarray]:
+        e = self.entries[i]
+        try:
+            hr = load_image(self._resolve(e["hubble_path"]))
+            lr = load_image(self._resolve(e["ground_path"]))
+            if self.hr_size and hr.shape[0] != self.hr_size:
+                raise ValueError(f"hr size {hr.shape} != {self.hr_size}")
+            if self.lr_size and lr.shape[0] != self.lr_size:
+                raise ValueError(f"lr size {lr.shape} != {self.lr_size}")
+            return {"lr": lr, "hr": hr}
+        except Exception:
+            # black-tensor fallback (reference src/dataset.py:45-48)
+            ls = self.lr_size or 128
+            hs = self.hr_size or ls * 4
+            c = 1
+            return {"lr": np.zeros((ls, ls, c), np.float32),
+                    "hr": np.zeros((hs, hs, c), np.float32)}
+
+
+def make_synthetic_image(index: int, size: int, channels: int = 1,
+                         seed: int = 0) -> np.ndarray:
+    """Deterministic procedural HR image in [0,1].
+
+    1-channel: astronomical starfield (dark background, PSF-blurred stars,
+    faint nebulosity) — matches the star-weighted loss regime where only
+    ~2% of pixels exceed the 0.02 'star' threshold.
+    3-channel: band-limited multi-scale noise (texture-rich, SR-meaningful).
+    """
+    rng = np.random.default_rng(np.uint32(seed * 1_000_003 + index))
+    if channels == 1:
+        img = np.zeros((size, size), np.float64)
+        # faint nebulosity: smooth low-frequency field
+        low = rng.random((size // 16 + 2, size // 16 + 2))
+        ys = np.linspace(0, low.shape[0] - 1.001, size)
+        xs = np.linspace(0, low.shape[1] - 1.001, size)
+        yi, xi = ys.astype(int), xs.astype(int)
+        fy, fx = ys - yi, xs - xi
+        neb = ((1 - fy)[:, None] * ((1 - fx) * low[yi][:, xi]
+                                    + fx * low[yi][:, xi + 1])
+               + fy[:, None] * ((1 - fx) * low[yi + 1][:, xi]
+                               + fx * low[yi + 1][:, xi + 1]))
+        img += 0.015 * neb
+        # stars: gaussian PSFs at random positions/fluxes
+        n_stars = rng.integers(size // 4, size)
+        ys_s = rng.random(n_stars) * size
+        xs_s = rng.random(n_stars) * size
+        flux = 10 ** rng.uniform(-1.5, 0.0, n_stars)
+        sigma = rng.uniform(0.8, 2.0, n_stars)
+        yy = np.arange(size)
+        for cy, cx, f, s in zip(ys_s, xs_s, flux, sigma):
+            y0, y1 = max(0, int(cy - 4 * s)), min(size, int(cy + 4 * s) + 1)
+            x0, x1 = max(0, int(cx - 4 * s)), min(size, int(cx + 4 * s) + 1)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            gy = np.exp(-((yy[y0:y1] - cy) ** 2) / (2 * s * s))
+            gx = np.exp(-((yy[x0:x1] - cx) ** 2) / (2 * s * s))
+            img[y0:y1, x0:x1] += f * np.outer(gy, gx)
+        return np.clip(img, 0.0, 1.0).astype(np.float32)[..., None]
+    # RGB: sum of band-limited noise octaves
+    img = np.zeros((size, size, 3), np.float64)
+    for octave, amp in ((4, 0.5), (16, 0.3), (64, 0.2)):
+        g = rng.random((min(octave, size), min(octave, size), 3))
+        reps = -(-size // g.shape[0])
+        up = np.kron(g, np.ones((reps, reps, 1)))[:size, :size]
+        img += amp * up
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+class SyntheticHRDataset:
+    """HR-only procedural dataset; LR comes from the degradation pipeline."""
+
+    def __init__(self, length: int, hr_size: int, channels: int = 1,
+                 seed: int = 0):
+        self.length = length
+        self.hr_size = hr_size
+        self.channels = channels
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, i: int) -> dict[str, np.ndarray]:
+        hr = make_synthetic_image(i % self.length, self.hr_size,
+                                  self.channels, self.seed)
+        return {"hr": hr}

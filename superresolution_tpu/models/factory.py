@@ -1,0 +1,28 @@
+"""Build a generator from a ModelConfig, including the two-stage hybrid
+composition (reference pattern: src/architecture.py:30-82)."""
+
+from __future__ import annotations
+
+from superresolution_tpu.models import get_model
+from superresolution_tpu.models.hybrid import HybridSR
+from superresolution_tpu.utils.config import ModelConfig
+
+
+def total_scale(mc: ModelConfig) -> int:
+    s = mc.scale
+    if mc.refiner:
+        s *= mc.refiner_kwargs.get("scale", 1)
+    return s
+
+
+def build_from_config(mc: ModelConfig, output_size: int | None = None):
+    stage1 = get_model(mc.name, scale=mc.scale, in_channels=mc.in_channels,
+                       out_channels=mc.out_channels, **mc.kwargs)
+    if mc.refiner is None and mc.smoothing in (None, "none"):
+        return stage1
+    stage2 = None
+    if mc.refiner is not None:
+        stage2 = get_model(mc.refiner, in_channels=mc.out_channels,
+                           out_channels=mc.out_channels, **mc.refiner_kwargs)
+    return HybridSR(stage1=stage1, stage2=stage2,
+                    output_size=output_size, smoothing=mc.smoothing)

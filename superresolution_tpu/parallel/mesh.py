@@ -1,0 +1,47 @@
+"""Device mesh and sharding layout.
+
+The TPU-native replacement for the reference's single-process
+nn.DataParallel (reference: scripts/Modello_supporto.py:103-105): a
+jax.sharding.Mesh over all chips with a 'data' axis for batch sharding and
+an optional 'spatial' axis for single-image sharding (parallel/spatial.py).
+Parameters are replicated; the jit partitioner inserts the gradient
+all-reduce over ICI automatically when the loss is averaged over a
+data-sharded batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from superresolution_tpu.utils.config import MeshConfig
+
+
+def create_mesh(config: MeshConfig | None = None,
+                devices=None) -> Mesh:
+    cfg = config or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    spatial = max(1, cfg.spatial)
+    data = cfg.data if cfg.data > 0 else n // spatial
+    if data * spatial > n:
+        raise ValueError(
+            f"mesh {data}x{spatial} needs {data * spatial} devices, have {n}")
+    dev_array = np.asarray(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(dev_array, axis_names=("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """device_put a host batch with the leading axis sharded over 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

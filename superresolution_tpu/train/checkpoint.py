@@ -1,0 +1,123 @@
+"""Checkpointing with best/last promotion AND resume.
+
+The reference saves weights-only best/last .pth and can never resume
+(SURVEY.md section 5 "Checkpoint / resume"). Here the full train state
+(params + optimizer + step [+ EMA]) is saved via orbax; `finalize` copies
+best (fallback last) into final_weights/ with a structural probe — the
+contract of reference scripts/Modello_4.py:22-49.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        self.dir = os.path.abspath(directory)
+        os.makedirs(self.dir, exist_ok=True)
+        self.keep = keep
+        self._ckptr = ocp.StandardCheckpointer()
+        self._meta_path = os.path.join(self.dir, "meta.json")
+        self.meta = {"best_step": None, "best_psnr": float("-inf"),
+                     "last_step": None}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self.meta = json.load(f)
+
+    def _save_meta(self) -> None:
+        with open(self._meta_path, "w") as f:
+            json.dump(self.meta, f, indent=2)
+
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.dir, f"step_{step:010d}")
+
+    def save(self, state, step: int, psnr: float | None = None) -> bool:
+        """Save `state`; track best by PSNR. Returns True if new best
+        (the reference's best-PSNR checkpoint policy,
+        scripts/Modello_supporto.py:174-185)."""
+        path = self._step_dir(step)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        self.meta["last_step"] = step
+        is_best = False
+        if psnr is not None and psnr > self.meta.get("best_psnr", float("-inf")):
+            self.meta["best_psnr"] = psnr
+            self.meta["best_step"] = step
+            is_best = True
+        self._save_meta()
+        self._gc()
+        return is_best
+
+    def _gc(self) -> None:
+        steps = sorted(self.all_steps())
+        protected = {self.meta.get("best_step"), self.meta.get("last_step")}
+        removable = [s for s in steps if s not in protected]
+        while len(removable) > max(0, self.keep - len(protected)):
+            s = removable.pop(0)
+            shutil.rmtree(self._step_dir(s), ignore_errors=True)
+
+    def all_steps(self) -> list[int]:
+        out = []
+        for d in os.listdir(self.dir):
+            if d.startswith("step_"):
+                out.append(int(d.split("_")[1]))
+        return sorted(out)
+
+    def restore(self, target, step: int | None = None):
+        """Restore into the structure of `target` (a concrete state pytree).
+        step=None -> last."""
+        step = step if step is not None else self.meta.get("last_step")
+        if step is None:
+            return None
+        path = self._step_dir(step)
+        if not os.path.exists(path):
+            return None
+        return self._ckptr.restore(path, target=target)
+
+    def restore_best(self, target):
+        best = self.meta.get("best_step")
+        if best is None:
+            return self.restore(target)
+        return self.restore(target, step=best)
+
+    def finalize(self, out_dir: str, probe=None) -> str:
+        """Promote best (fallback last) to `out_dir`/best, validating with
+        `probe(state)` if given (reference scripts/Modello_4.py:22-49)."""
+        step = self.meta.get("best_step") or self.meta.get("last_step")
+        if step is None:
+            raise FileNotFoundError("no checkpoints to finalize")
+        src = self._step_dir(step)
+        dst = os.path.join(out_dir, "best")
+        os.makedirs(out_dir, exist_ok=True)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        if probe is not None:
+            probe(dst)
+        return dst
+
+
+def params_probe(expected_key_path: str):
+    """Returns a probe asserting a parameter path exists in a finalized
+    checkpoint (the analog of the reference's 'stage1.conv_first.weight'
+    state-dict check)."""
+
+    def _probe(path: str) -> None:
+        ckptr = ocp.StandardCheckpointer()
+        tree = ckptr.restore(path)
+        node = tree
+        for part in expected_key_path.split("/"):
+            if part not in node:
+                raise KeyError(
+                    f"finalized checkpoint missing {expected_key_path!r}")
+            node = node[part]
+
+    return _probe

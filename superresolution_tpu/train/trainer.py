@@ -1,0 +1,221 @@
+"""Trainer — the end-to-end training workload (the re-design of reference
+scripts/Modello_supporto.py:41-196).
+
+Wires config -> model/data/loss/optimizer/mesh -> jitted steps, and runs
+the epoch loop with: validation every `eval_every` epochs (fp32 metrics),
+best-PSNR/last checkpointing WITH resume, preview strips every
+`preview_every` epochs, TB/JSONL logging, and optional GAN mode.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superresolution_tpu.data.dataset import PairedDataset, SyntheticHRDataset
+from superresolution_tpu.data.io import save_png
+from superresolution_tpu.data.loader import Loader
+from superresolution_tpu.losses.combined import CombinedLoss
+from superresolution_tpu.metrics.psnr_ssim import Metrics
+from superresolution_tpu.models.discriminator import VGGStyleDiscriminator
+from superresolution_tpu.models.factory import build_from_config, total_scale
+from superresolution_tpu.ops.resize import resize_nearest
+from superresolution_tpu.parallel.mesh import create_mesh, shard_batch
+from superresolution_tpu.train.checkpoint import CheckpointManager
+from superresolution_tpu.train.gan import make_gan_steps
+from superresolution_tpu.train.logging import MetricsLogger
+from superresolution_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+)
+from superresolution_tpu.train.steps import (
+    make_device_input,
+    make_eval_step,
+    make_train_step,
+)
+from superresolution_tpu.utils.config import Config
+from superresolution_tpu.utils.precision import get_policy
+
+
+class Trainer:
+    def __init__(self, config: Config, workdir: str | None = None,
+                 mesh=None):
+        self.cfg = config
+        self.workdir = workdir or os.path.join("outputs", config.name)
+        os.makedirs(self.workdir, exist_ok=True)
+        self.policy = get_policy(config.train.precision)
+        self.mesh = mesh if mesh is not None else create_mesh(config.mesh)
+        self.scale = total_scale(config.model)
+        self.is_gan = "gan" in config.loss.terms
+
+        # --- data ---
+        dc = config.data
+        self.train_ds, self.val_ds = self._build_datasets()
+        bs = dc.batch_size
+        ndata = self.mesh.shape["data"]
+        bs = max(ndata, (bs // ndata) * ndata)
+        if len(self.train_ds) < bs:  # smart shrink (reference :80-85)
+            bs = max(ndata, (len(self.train_ds) // ndata) * ndata)
+        self.batch_size = bs
+        if bs < ndata or len(self.train_ds) < ndata:
+            raise ValueError(
+                f"dataset ({len(self.train_ds)}) / batch ({dc.batch_size}) too"
+                f" small for the {ndata}-way data mesh; shrink mesh.data")
+        self.train_loader = Loader(self.train_ds, bs, shuffle=True,
+                                   seed=config.train.seed,
+                                   num_workers=dc.num_workers)
+        val_bs = max(ndata, (min(bs, len(self.val_ds)) // ndata) * ndata)
+        self.val_loader = Loader(self.val_ds, val_bs,
+                                 shuffle=False, num_workers=dc.num_workers)
+
+        # --- model/loss/opt ---
+        output_size = dc.hr_patch if config.model.refiner else None
+        self.model = build_from_config(config.model, output_size=output_size)
+        self.loss_fn = CombinedLoss(config.loss)
+        steps_per_epoch = max(1, len(self.train_loader))
+        total_steps = config.train.epochs * steps_per_epoch
+        self.tx, self.schedule = make_optimizer(config.train, total_steps)
+
+        lr_patch = dc.hr_patch // self.scale
+        init_x = jnp.zeros((1, lr_patch, lr_patch, config.model.in_channels),
+                           jnp.float32)
+        params = self.model.init(jax.random.key(config.train.seed), init_x)
+        self.state = create_train_state(
+            params, self.tx, ema=config.train.ema_decay is not None)
+
+        self.input_fn = make_device_input(dc, self.scale)
+        self.eval_input_fn = make_device_input(dc, self.scale, augment=False)
+
+        if self.is_gan:
+            self.disc = VGGStyleDiscriminator(
+                in_channels=config.model.out_channels,
+                input_size=dc.hr_patch)
+            d_params = self.disc.init(
+                jax.random.key(config.train.seed + 1),
+                jnp.zeros((1, dc.hr_patch, dc.hr_patch,
+                           config.model.out_channels), jnp.float32))
+            self.d_tx, _ = make_optimizer(
+                config.train, total_steps,
+                lr=config.train.disc_lr or config.train.lr)
+            self.d_state = create_train_state(d_params, self.d_tx)
+            self._gan_step = jax.jit(make_gan_steps(
+                self.model, self.disc, self.loss_fn, self.tx, self.d_tx,
+                self.policy, self.input_fn,
+                gan_weight=config.loss.terms.get("gan", 0.005),
+                ema_decay=config.train.ema_decay))
+        else:
+            self._train_step = jax.jit(make_train_step(
+                self.model, self.loss_fn, self.tx, self.policy,
+                self.input_fn, accum_steps=config.train.accum_steps,
+                ema_decay=config.train.ema_decay), donate_argnums=0)
+        self._eval_step = jax.jit(make_eval_step(
+            self.model, self.policy, self.eval_input_fn,
+            use_ema=config.train.ema_decay is not None))
+
+        # --- ckpt/logging ---
+        self.ckpt = CheckpointManager(
+            os.path.join(self.workdir, "checkpoints"),
+            keep=config.train.keep_checkpoints)
+        self.logger = MetricsLogger(os.path.join(self.workdir, "logs"))
+        self.start_epoch = 0
+        if config.train.resume:
+            restored = self.ckpt.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                steps_done = int(self.state.step)
+                self.start_epoch = steps_done // steps_per_epoch
+        self.steps_per_epoch = steps_per_epoch
+        self._base_key = jax.random.key(config.train.seed + 7)
+
+    def _build_datasets(self):
+        dc = self.cfg.data
+        c = self.cfg.model.in_channels
+        if dc.train_manifest:
+            lr_size = dc.hr_patch // self.scale if dc.degradation == "none" else None
+            train = PairedDataset(dc.train_manifest, dc.base_path,
+                                  lr_size=lr_size)
+            val = PairedDataset(dc.val_manifest or dc.train_manifest,
+                                dc.base_path, lr_size=lr_size)
+            return train, val
+        n = dc.synthetic_len or 64
+        train = SyntheticHRDataset(n, dc.hr_patch, c, seed=1)
+        val = SyntheticHRDataset(max(4, n // 8), dc.hr_patch, c, seed=2)
+        return train, val
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: int | None = None) -> dict:
+        cfg = self.cfg.train
+        epochs = epochs if epochs is not None else cfg.epochs
+        best = {"psnr": float("-inf"), "ssim": 0.0}
+        t_start = time.time()
+        for epoch in range(self.start_epoch, epochs):
+            self.train_loader.set_epoch(epoch)
+            epoch_logs = None
+            nb = 0
+            for batch in self.train_loader:
+                step = int(self.state.step)
+                key = jax.random.fold_in(self._base_key, step)
+                batch = shard_batch(self.mesh, batch)
+                if self.is_gan:
+                    self.state, self.d_state, logs = self._gan_step(
+                        self.state, self.d_state, batch, key)
+                else:
+                    self.state, logs = self._train_step(self.state, batch, key)
+                nb += 1
+                if epoch_logs is None:
+                    epoch_logs = logs
+                else:
+                    epoch_logs = jax.tree.map(jnp.add, epoch_logs, logs)
+            if epoch_logs is not None:
+                mean_logs = {k: float(v) / nb for k, v in epoch_logs.items()}
+                mean_logs["lr"] = float(self.schedule(int(self.state.step)))
+                self.logger.scalars(int(self.state.step), mean_logs,
+                                    prefix="train/")
+            if (epoch + 1) % cfg.eval_every == 0 or epoch == epochs - 1:
+                val = self.evaluate()
+                self.logger.scalars(int(self.state.step), val, prefix="val/")
+                is_best = self.ckpt.save(self.state, int(self.state.step),
+                                         psnr=val["psnr"])
+                if is_best:
+                    best = dict(val)
+                if (epoch + 1) % cfg.preview_every == 0:
+                    self._save_preview(epoch)
+        return {"best": best, "epochs": epochs,
+                "wall_s": time.time() - t_start,
+                "final_step": int(self.state.step)}
+
+    def evaluate(self) -> dict:
+        m = Metrics()
+        for i, batch in enumerate(self.val_loader):
+            key = jax.random.fold_in(self._base_key, 2**30 + i)
+            batch = shard_batch(self.mesh, batch)
+            out = self._eval_step(self.state, batch, key)
+            _, hr = self.eval_input_fn(key, batch)
+            m.update(out["pred"], hr)
+        return m.compute()
+
+    def _save_preview(self, epoch: int) -> None:
+        """[LR-nearest-up | SR | HR] strip (reference
+        scripts/Modello_supporto.py:187-190, scripts/Modello_5.py:83-85)."""
+        batch = next(iter(self.val_loader))
+        batch = jax.tree.map(lambda x: x[:1], batch)
+        key = jax.random.fold_in(self._base_key, 2**31 - 1)
+        out = self._eval_step(self.state, shard_batch(self.mesh, batch), key)
+        lr, hr = self.eval_input_fn(key, jax.tree.map(jnp.asarray, batch))
+        sr = np.asarray(out["pred"][0])
+        hr0 = np.asarray(hr[0])
+        lr_up = np.asarray(resize_nearest(lr[0], hr0.shape[:2]))
+        strip = np.concatenate([lr_up, sr, hr0], axis=1)
+        path = os.path.join(self.workdir, "previews",
+                            f"epoch_{epoch + 1:05d}.png")
+        save_png(strip, path)
+        self.logger.image(int(self.state.step), "preview", strip)
+
+    def finalize(self) -> str:
+        """Promote best weights (reference scripts/Modello_4.py contract)."""
+        return self.ckpt.finalize(os.path.join(self.workdir, "final_weights"))

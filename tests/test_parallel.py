@@ -1,0 +1,83 @@
+"""Mesh sharding on the 8-device virtual CPU mesh: data-parallel step
+equivalence and spatial halo-exchange inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superresolution_tpu.losses.combined import CombinedLoss
+from superresolution_tpu.models import ESPCN
+from superresolution_tpu.parallel import (
+    create_mesh,
+    shard_batch,
+    spatial_shard_apply,
+)
+from superresolution_tpu.train.state import create_train_state, make_optimizer
+from superresolution_tpu.train.steps import make_device_input, make_train_step
+from superresolution_tpu.utils.config import (
+    DataConfig,
+    LossConfig,
+    MeshConfig,
+    TrainConfig,
+)
+from superresolution_tpu.utils.precision import get_policy
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@requires_8
+def test_mesh_shapes():
+    mesh = create_mesh(MeshConfig(data=-1, spatial=1))
+    assert mesh.shape["data"] == 8
+    mesh2 = create_mesh(MeshConfig(data=2, spatial=4))
+    assert mesh2.shape == {"data": 2, "spatial": 4}
+
+
+@requires_8
+def test_data_parallel_step_matches_single_device(rng):
+    """The mesh-sharded train step must produce the same new params as the
+    unsharded step: jit's partitioner inserts the grad all-reduce."""
+    model = ESPCN(scale=2, in_channels=1, out_channels=1, f1=8, f2=8)
+    tcfg = TrainConfig(lr=1e-3, precision="fp32")
+    tx, _ = make_optimizer(tcfg, 100)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 1)))
+    dcfg = DataConfig(degradation="bicubic", augment=False)
+    step = make_train_step(model, CombinedLoss(LossConfig()), tx,
+                           get_policy("fp32"),
+                           make_device_input(dcfg, 2))
+    batch = {"hr": jnp.asarray(rng.random((8, 16, 16, 1), dtype=np.float32))}
+    key = jax.random.key(5)
+
+    s0 = create_train_state(params, tx)
+    ref_state, ref_logs = jax.jit(step)(s0, batch, key)
+
+    mesh = create_mesh(MeshConfig(data=8, spatial=1))
+    sharded_batch = shard_batch(mesh, jax.tree.map(np.asarray, batch))
+    s1 = create_train_state(params, tx)
+    dp_state, dp_logs = jax.jit(step)(s1, sharded_batch, key)
+
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(dp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert abs(float(ref_logs["total"]) - float(dp_logs["total"])) < 1e-5
+
+
+@requires_8
+def test_spatial_shard_apply_matches_single_device(rng):
+    mesh = create_mesh(MeshConfig(data=1, spatial=8))
+    model = ESPCN(scale=2, in_channels=1, out_channels=1, f1=8, f2=8)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)))
+
+    def fn(x):
+        return model.apply(params, x)
+
+    img = jnp.asarray(rng.random((1, 128, 32, 1), dtype=np.float32))
+    full = np.asarray(fn(img))
+    sharded = np.asarray(spatial_shard_apply(mesh, fn, img, halo=8, scale=2))
+    assert sharded.shape == full.shape
+    # exact away from the true image border (same contract as tiling)
+    b = 8 * 2
+    np.testing.assert_allclose(sharded[:, b:-b], full[:, b:-b], atol=2e-5)

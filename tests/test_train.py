@@ -1,0 +1,180 @@
+"""Training engine: step mechanics, accumulation equivalence, checkpoint
+resume, single-pair overfit convergence (the reference's own sanity-check
+methodology, scripts/Modello_2.py:27-54), and GAN smoke."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superresolution_tpu.losses.combined import CombinedLoss
+from superresolution_tpu.models import ESPCN
+from superresolution_tpu.train.checkpoint import CheckpointManager
+from superresolution_tpu.train.state import create_train_state, make_optimizer
+from superresolution_tpu.train.steps import (
+    make_device_input,
+    make_eval_step,
+    make_train_step,
+)
+from superresolution_tpu.train.trainer import Trainer
+from superresolution_tpu.utils.config import (
+    Config,
+    DataConfig,
+    LossConfig,
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+    get_preset,
+)
+
+# unit tests use tiny datasets that cannot fill the 8-device virtual mesh
+_MESH1 = MeshConfig(data=1, spatial=1)
+from superresolution_tpu.utils.precision import get_policy
+
+
+def _tiny_setup(accum=1, precision="fp32"):
+    model = ESPCN(scale=2, in_channels=1, out_channels=1, f1=8, f2=8)
+    tcfg = TrainConfig(lr=1e-3, grad_clip_norm=1.0, accum_steps=accum,
+                       precision=precision)
+    tx, _ = make_optimizer(tcfg, total_steps=100)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 1)))
+    state = create_train_state(params, tx)
+    dcfg = DataConfig(degradation="bicubic", augment=False)
+    input_fn = make_device_input(dcfg, scale=2)
+    loss_fn = CombinedLoss(LossConfig(terms={"l1": 1.0}))
+    step = make_train_step(model, loss_fn, tx, get_policy(precision),
+                           input_fn, accum_steps=accum)
+    return model, state, step, tx
+
+
+def _batch(rng, n=4, size=16):
+    return {"hr": jnp.asarray(rng.random((n, size, size, 1),
+                                         dtype=np.float32))}
+
+
+def test_train_step_decreases_loss(rng):
+    _, state, step, _ = _tiny_setup()
+    batch = _batch(rng)
+    key = jax.random.key(1)
+    losses = []
+    for i in range(30):
+        state, logs = step(state, batch, key)
+        losses.append(float(logs["total"]))
+    assert losses[-1] < losses[0] * 0.8
+    assert int(state.step) == 30
+
+
+def test_grad_accum_matches_full_batch(rng):
+    """accum over micro-batches must match the full-batch gradient step."""
+    batch = _batch(rng, n=4)
+    key = jax.random.key(2)
+    _, s1, step1, _ = _tiny_setup(accum=1)
+    _, s4, step4, _ = _tiny_setup(accum=4)
+    s1b, logs1 = step1(s1, batch, key)
+    s4b, logs4 = step4(s4, batch, key)
+    p1 = jax.tree.leaves(s1b.params)
+    p4 = jax.tree.leaves(s4b.params)
+    for a, b in zip(p1, p4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_eval_step_metrics(rng):
+    model, state, step, _ = _tiny_setup()
+    dcfg = DataConfig(degradation="bicubic", augment=False)
+    eval_step = jax.jit(make_eval_step(
+        model, get_policy("fp32"), make_device_input(dcfg, 2, augment=False)))
+    out = eval_step(state, _batch(rng), jax.random.key(0))
+    assert np.isfinite(float(out["psnr"]))
+    assert out["pred"].shape == (4, 16, 16, 1)
+
+
+def test_checkpoint_save_restore_resume(tmp_path, rng):
+    _, state, step, _ = _tiny_setup()
+    batch = _batch(rng)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.key(i))
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    assert mgr.save(state, 3, psnr=20.0) is True
+    assert mgr.save(state, 4, psnr=19.0) is False  # not better
+    _, fresh, _, _ = _tiny_setup()
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == 3 or int(restored.step) == 4
+    best = mgr.restore_best(fresh)
+    leaves_a = jax.tree.leaves(best.params)
+    leaves_b = jax.tree.leaves(state.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_finalize(tmp_path, rng):
+    _, state, _, _ = _tiny_setup()
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    mgr.save(state, 1, psnr=10.0)
+    out = mgr.finalize(str(tmp_path / "final"))
+    assert "best" in out
+    import os
+    assert os.path.isdir(out)
+
+
+@pytest.mark.slow
+def test_single_pair_overfit_convergence():
+    """The reference's de-facto integration test: convergence on one pair
+    validates the whole train loop end-to-end (SURVEY.md section 4)."""
+    cfg = Config(
+        name="overfit_test",
+        model=ModelConfig(name="espcn", scale=2, in_channels=1,
+                          out_channels=1, kwargs={"f1": 16, "f2": 16}),
+        data=DataConfig(hr_patch=32, batch_size=2, synthetic_len=2,
+                        degradation="bicubic", augment=False),
+        loss=LossConfig(terms={"l1": 1.0}),
+        train=TrainConfig(epochs=60, lr=2e-3, eval_every=30,
+                          preview_every=1000, precision="fp32",
+                          checkpoint_dir="", resume=False),
+        mesh=_MESH1,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tr = Trainer(cfg, workdir=td)
+        first = tr.evaluate()
+        result = tr.fit()
+        final = tr.evaluate()
+        assert final["psnr"] > first["psnr"] + 3.0, (first, final)
+        assert result["best"]["psnr"] > first["psnr"]
+
+
+def test_trainer_gan_smoke(tmp_path):
+    cfg = Config(
+        name="gan_test",
+        model=ModelConfig(name="espcn", scale=2, in_channels=1,
+                          out_channels=1, kwargs={"f1": 8, "f2": 8}),
+        data=DataConfig(hr_patch=32, batch_size=2, synthetic_len=2,
+                        degradation="bicubic", augment=False),
+        loss=LossConfig(terms={"l1": 1.0, "gan": 0.01}),
+        train=TrainConfig(epochs=2, lr=1e-3, eval_every=1, preview_every=1000,
+                          precision="fp32", resume=False),
+        mesh=_MESH1,
+    )
+    tr = Trainer(cfg, workdir=str(tmp_path))
+    assert tr.is_gan
+    out = tr.fit()
+    assert np.isfinite(out["best"]["psnr"])
+
+
+def test_presets_construct_trainers():
+    cfg = get_preset("srcnn_x2")
+    small = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, synthetic_len=2, hr_patch=16,
+                                 batch_size=2),
+        train=dataclasses.replace(cfg.train, epochs=1, resume=False),
+        mesh=_MESH1,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tr = Trainer(small, workdir=td)
+        assert tr.scale == 2
