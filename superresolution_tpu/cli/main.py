@@ -1,0 +1,170 @@
+"""Non-interactive CLI replacing the reference's numbered scripts + stdin
+menus (reference: scripts/Modello_2..5, Dataset_step*, ShowResult):
+
+  prepare-data  scan pair dirs -> train/val/test manifests   (Modello_2)
+  train         run a preset/config training                 (Modello_3+supporto)
+  finalize      promote best checkpoint to final_weights     (Modello_4)
+  test          eval split: PSNR/SSIM + TIFF16 + strips      (Modello_5)
+  upscale       tiled SR on an arbitrary image               (new)
+  benchmark     MP/s/chip harness                            (new)
+  presets       list named configs
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--preset", default="edsr_baseline_x4")
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--data-root", default=None,
+                   help="directory of pair_* dirs (else synthetic data)")
+    p.add_argument("--manifest-dir", default=None)
+    p.add_argument("--mesh-data", type=int, default=None)
+
+
+def _config_from_args(args):
+    from superresolution_tpu.utils.config import get_preset
+
+    cfg = get_preset(args.preset)
+    data = cfg.data
+    train = cfg.train
+    mesh = cfg.mesh
+    if args.manifest_dir:
+        import os
+        data = dataclasses.replace(
+            data,
+            train_manifest=os.path.join(args.manifest_dir, "train.json"),
+            val_manifest=os.path.join(args.manifest_dir, "val.json"),
+            test_manifest=os.path.join(args.manifest_dir, "test.json"))
+    if args.batch_size:
+        data = dataclasses.replace(data, batch_size=args.batch_size)
+    if args.epochs:
+        train = dataclasses.replace(train, epochs=args.epochs)
+    if args.mesh_data:
+        mesh = dataclasses.replace(mesh, data=args.mesh_data)
+    return dataclasses.replace(cfg, data=data, train=train, mesh=mesh)
+
+
+def cmd_prepare_data(args):
+    from superresolution_tpu.data.manifest import prepare_splits
+
+    paths = prepare_splits(args.root, args.out, mode=args.mode,
+                           val_frac=args.val_frac, seed=args.seed)
+    print(json.dumps(paths, indent=2))
+
+
+def cmd_train(args):
+    from superresolution_tpu.train.trainer import Trainer
+
+    cfg = _config_from_args(args)
+    trainer = Trainer(cfg, workdir=args.workdir)
+    result = trainer.fit()
+    print(json.dumps(result))
+
+
+def cmd_finalize(args):
+    from superresolution_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(args.checkpoints)
+    out = mgr.finalize(args.out)
+    print(f"finalized -> {out}")
+
+
+def cmd_test(args):
+    from superresolution_tpu.infer.evaluate import run_test
+    from superresolution_tpu.train.trainer import Trainer
+
+    cfg = _config_from_args(args)
+    trainer = Trainer(cfg, workdir=args.workdir)
+    result = run_test(trainer, labeled=args.labeled)
+    print(json.dumps(result))
+
+
+def cmd_upscale(args):
+    import numpy as np
+
+    from superresolution_tpu.data.io import load_image, save_png, save_tiff16
+    from superresolution_tpu.infer import upscale
+
+    img = load_image(args.input)
+    out = upscale(img, scale=args.scale, model=args.model, tile=args.tile,
+                  halo=args.halo, blend=args.blend)
+    if args.output.endswith((".tif", ".tiff")) and out.shape[-1] == 1:
+        save_tiff16(out, args.output)
+    else:
+        save_png(np.asarray(out), args.output)
+    print(f"{img.shape} -> {out.shape} saved to {args.output}")
+
+
+def cmd_benchmark(args):
+    import bench
+
+    bench.main()
+
+
+def cmd_presets(args):
+    from superresolution_tpu.utils.config import presets
+
+    for name, cfg in sorted(presets.items()):
+        print(f"{name:22s} model={cfg.model.name:9s} scale(total) "
+              f"loss={sorted(cfg.loss.terms)}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser("superresolution_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("prepare-data")
+    s.add_argument("--root", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--mode", choices=["split", "overfit"], default="split")
+    s.add_argument("--val-frac", type=float, default=0.1)
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=cmd_prepare_data)
+
+    s = sub.add_parser("train")
+    _add_common(s)
+    s.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser("finalize")
+    s.add_argument("--checkpoints", required=True)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_finalize)
+
+    s = sub.add_parser("test")
+    _add_common(s)
+    s.add_argument("--labeled", action="store_true")
+    s.set_defaults(fn=cmd_test)
+
+    s = sub.add_parser("upscale")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--scale", type=int, default=4)
+    s.add_argument("--model", default="rrdbnet")
+    s.add_argument("--tile", type=int, default=256)
+    s.add_argument("--halo", type=int, default=16)
+    s.add_argument("--blend", default="crop", choices=["crop", "hann"])
+    s.set_defaults(fn=cmd_upscale)
+
+    s = sub.add_parser("benchmark")
+    s.set_defaults(fn=cmd_benchmark)
+
+    s = sub.add_parser("presets")
+    s.set_defaults(fn=cmd_presets)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
