@@ -31,6 +31,10 @@ REF_GPU_MPS_X4 = 1.4  # estimated reference-on-GPU input MP/s (see docstring)
 def main() -> None:
     import jax
 
+    from superresolution_tpu.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
+
     from superresolution_tpu.infer import tiled_apply
     from superresolution_tpu.models import RRDBNet
     from superresolution_tpu.utils.precision import get_policy
@@ -43,7 +47,8 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    # init under jit: eager per-op dispatch through the TPU tunnel is slow
+    params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     params = policy.cast_to_compute(params)  # weights resident in bf16
 
     @jax.jit

@@ -162,6 +162,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from superresolution_tpu.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -27,6 +27,15 @@ class ResBlock(nn.Module):
         return x + y * jnp.asarray(self.res_scale, x.dtype)
 
 
+class _ResScanBody(nn.Module):
+    features: int
+    res_scale: float
+
+    @nn.compact
+    def __call__(self, x, _):
+        return ResBlock(self.features, self.res_scale)(x), None
+
+
 class EDSR(nn.Module):
     scale: int = 4
     in_channels: int = 3
@@ -34,6 +43,8 @@ class EDSR(nn.Module):
     features: int = 64
     num_blocks: int = 16
     res_scale: float = 1.0
+    # compile the resblock body once via lax.scan (TPU compile-time win)
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -42,8 +53,17 @@ class EDSR(nn.Module):
             mean = jnp.asarray(_DIV2K_MEAN, x.dtype)
             x = x - mean
         x = head = Conv(self.features)(x)
-        for _ in range(self.num_blocks):
-            x = ResBlock(self.features, self.res_scale)(x)
+        if self.scan_blocks:
+            scanned = nn.scan(
+                _ResScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.num_blocks,
+            )(self.features, self.res_scale, name="res_blocks")
+            x, _ = scanned(x, None)
+        else:
+            for _ in range(self.num_blocks):
+                x = ResBlock(self.features, self.res_scale)(x)
         x = Conv(self.features)(x) + head
         x = PixelShuffleUpsampler(self.scale, self.features)(x)
         x = Conv(self.out_channels)(x)

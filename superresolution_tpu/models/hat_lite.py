@@ -220,6 +220,24 @@ class OverlappingCrossAttention(nn.Module):
         return x + z
 
 
+class _HABPair(nn.Module):
+    """One unshifted + one shifted block — the scan unit inside a group."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    conv_scale: float
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = HABlock(self.dim, self.num_heads, self.window_size, 0,
+                    self.mlp_ratio, self.conv_scale)(x)
+        x = HABlock(self.dim, self.num_heads, self.window_size,
+                    self.window_size // 2, self.mlp_ratio, self.conv_scale)(x)
+        return x, None
+
+
 class ResidualGroup(nn.Module):
     dim: int
     depth: int
@@ -228,17 +246,49 @@ class ResidualGroup(nn.Module):
     mlp_ratio: float = 2.0
     conv_scale: float = 0.01
     overlap_ratio: float = 0.5
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = x
-        for i in range(self.depth):
+        if self.scan_blocks and self.depth >= 2:
+            pairs = self.depth // 2
+            scanned = nn.scan(
+                _HABPair,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=pairs,
+            )(self.dim, self.num_heads, self.window_size, self.mlp_ratio,
+              self.conv_scale, name="hab_pairs")
+            y, _ = scanned(y, None)
+            tail = self.depth - 2 * pairs
+        else:
+            tail = self.depth
+        for i in range(tail):
             shift = 0 if i % 2 == 0 else self.window_size // 2
             y = HABlock(self.dim, self.num_heads, self.window_size, shift,
                         self.mlp_ratio, self.conv_scale)(y)
         y = OverlappingCrossAttention(self.dim, self.num_heads,
                                       self.window_size, self.overlap_ratio)(y)
         return x + Conv(self.dim)(y)
+
+
+class _GroupScanBody(nn.Module):
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    conv_scale: float
+    overlap_ratio: float
+    scan_blocks: bool
+
+    @nn.compact
+    def __call__(self, x, _):
+        return ResidualGroup(self.dim, self.depth, self.num_heads,
+                             self.window_size, self.mlp_ratio,
+                             self.conv_scale, self.overlap_ratio,
+                             self.scan_blocks)(x), None
 
 
 class HATLite(nn.Module):
@@ -252,6 +302,7 @@ class HATLite(nn.Module):
     mlp_ratio: float = 2.0
     conv_scale: float = 0.01
     overlap_ratio: float = 0.5
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -263,10 +314,23 @@ class HATLite(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
         feat = Conv(self.embed_dim)(x)
         y = feat
-        for depth, heads in zip(self.depths, self.num_heads):
-            y = ResidualGroup(self.embed_dim, depth, heads, ws,
-                              self.mlp_ratio, self.conv_scale,
-                              self.overlap_ratio)(y)
+        uniform = (len(set(self.depths)) == 1
+                   and len(set(self.num_heads)) == 1)
+        if self.scan_blocks and uniform and len(self.depths) > 1:
+            scanned = nn.scan(
+                _GroupScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=len(self.depths),
+            )(self.embed_dim, self.depths[0], self.num_heads[0], ws,
+              self.mlp_ratio, self.conv_scale, self.overlap_ratio,
+              self.scan_blocks, name="groups")
+            y, _ = scanned(y, None)
+        else:
+            for depth, heads in zip(self.depths, self.num_heads):
+                y = ResidualGroup(self.embed_dim, depth, heads, ws,
+                                  self.mlp_ratio, self.conv_scale,
+                                  self.overlap_ratio, self.scan_blocks)(y)
         y = Conv(self.embed_dim)(y) + feat
         y = PixelShuffleUpsampler(self.scale, self.embed_dim)(y)
         y = Conv(self.out_channels)(y)

@@ -1,0 +1,25 @@
+"""Process-level JAX runtime setup.
+
+The TPU tunnel in this environment compiles remotely and slowly; the
+persistent compilation cache turns the second process-lifetime of any jitted
+program into a cache hit. Call `setup_jax_cache()` before the first jit in
+every entry point (bench, CLI, driver entry)."""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_jax_cache(cache_dir: str | None = None) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "SRTPU_JAX_CACHE", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.dirname(__file__))), ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without these flags
