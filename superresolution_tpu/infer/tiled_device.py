@@ -1,0 +1,77 @@
+"""Fully on-device overlap-halo tiled inference.
+
+The host-side tiler (infer/tiled.py) round-trips every tile batch over
+PCIe/the host link — fine for huge images that do not fit HBM, but the
+dominant cost when the link is slow. This variant keeps EVERYTHING on
+device inside one jitted program: pad -> gather the static tile grid ->
+lax.map the network over fixed-size tile batches -> crop halos ->
+reassemble. One compilation, zero host round-trips, output stays in HBM
+(e.g. for metric computation or 16-bit quantization before transfer).
+
+Same exactness contract as infer/tiled.py (halo-crop; interior exact when
+half receptive field <= halo).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def make_tiled_infer(fn, scale: int, tile: int, halo: int, batch: int,
+                     h: int, w: int, channels: int):
+    """Build a jitted HWC[h,w,c] -> HWC[h*scale, w*scale, c] tiled runner.
+
+    `fn` maps [batch, tile+2*halo, tile+2*halo, c] -> upscaled batch.
+    Static geometry (h, w) per compilation — reuse for a fixed input size.
+    """
+    ny, nx = -(-h // tile), -(-w // tile)
+    n = ny * nx
+    n_pad = (-n) % batch
+    t_in = tile + 2 * halo
+    ts = tile * scale
+    hs = halo * scale
+
+    # static gather coordinates of each tile's top-left corner (in padded img)
+    coords = jnp.asarray([(iy * tile, ix * tile)
+                          for iy in range(ny) for ix in range(nx)]
+                         + [(0, 0)] * n_pad, dtype=jnp.int32)
+
+    @jax.jit
+    def run(img: jnp.ndarray) -> jnp.ndarray:
+        ph, pw = ny * tile - h, nx * tile - w
+        padded = jnp.pad(img, ((halo, ph + halo), (halo, pw + halo), (0, 0)),
+                         mode="edge")
+
+        def gather_tile(c):
+            return jax.lax.dynamic_slice(
+                padded, (c[0], c[1], 0), (t_in, t_in, channels))
+
+        tiles = jax.vmap(gather_tile)(coords)  # [n+n_pad, t_in, t_in, C]
+        tb = tiles.reshape(-1, batch, t_in, t_in, channels)
+
+        outs = jax.lax.map(fn, tb)  # [nb, batch, t_in*s, t_in*s, C]
+        outs = outs.reshape(-1, t_in * scale, t_in * scale, channels)[:n]
+        outs = outs[:, hs:hs + ts, hs:hs + ts, :]  # crop halo
+        grid = outs.reshape(ny, nx, ts, ts, channels)
+        full = grid.transpose(0, 2, 1, 3, 4).reshape(ny * ts, nx * ts,
+                                                     channels)
+        return full[: h * scale, : w * scale]
+
+    return run
+
+
+def upscale_on_device(img, scale: int, model, params, tile: int = 256,
+                      halo: int = 16, batch: int = 8,
+                      compute_dtype=jnp.bfloat16):
+    """Convenience wrapper: device-resident tiled SR of one HWC image."""
+    h, w, c = img.shape
+
+    def fn(x):
+        out = model.apply(params, x.astype(compute_dtype))
+        return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+
+    runner = make_tiled_infer(fn, scale, tile, halo, batch, h, w, c)
+    return runner(jnp.asarray(img))

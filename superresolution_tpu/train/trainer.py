@@ -49,6 +49,8 @@ class Trainer:
         self.workdir = workdir or os.path.join("outputs", config.name)
         os.makedirs(self.workdir, exist_ok=True)
         self.policy = get_policy(config.train.precision)
+        if config.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.mesh = mesh if mesh is not None else create_mesh(config.mesh)
         self.scale = total_scale(config.model)
         self.is_gan = "gan" in config.loss.terms

@@ -107,6 +107,8 @@ class TrainConfig:
     # GAN training (ESRGAN preset)
     disc_lr: float | None = None
     gan_start_step: int = 0
+    # debug mode: jax_debug_nans + host-side finite checks on logs/params
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)
