@@ -36,30 +36,43 @@ def main() -> None:
 
     setup_jax_cache()
 
-    from superresolution_tpu.infer import make_tiled_infer
+    from superresolution_tpu.infer import make_tiled_infer_staged
     from superresolution_tpu.models import RRDBNet
     from superresolution_tpu.utils.precision import get_policy
 
+    # flagship: ESRGAN RRDB generator, fused-projection dense blocks,
+    # sub-pixel upsampler (convs at LR resolution)
     model = RRDBNet(scale=4, in_channels=3, out_channels=3, features=64,
-                    num_blocks=23, growth=32)
+                    num_blocks=23, growth=32, upsampler="pixelshuffle")
     policy = get_policy("bf16")
-    tile, halo, batch = 192, 16, 4
+    # tile geometry tuned for v5e: 15 tiles of 384^2 cover 1920x1080
+    # (padding waste 1.07x, halo overlap 1.17x) in 3 lax.map steps of 5 —
+    # batch 5 keeps the x4-resolution tail under HBM (the padded d2s/conv
+    # temps at 1664^2 x 64ch dominate memory, ~1.5 GB per 5-tile step)
+    tile, halo, batch = 384, 16, 5
     h, w = 1080, 1920  # 2K-resolution input
 
     # init under jit: eager per-op dispatch through the TPU tunnel is slow
     params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     params = policy.cast_to_compute(params)  # weights resident in bf16
 
-    def fn(x):
-        out = model.apply(params, x.astype(policy.compute_dtype))
+    def trunk_fn(x):
+        return model.apply(params, x.astype(policy.compute_dtype),
+                           method="trunk")
+
+    def tail_fn(feat):
+        out = model.apply(params, feat, method="tail")
         return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
 
-    # Fully on-device tiled inference: in production the HR output stays in
-    # HBM (metrics / uint16 quantize / collective write-out). This dev
-    # harness's host link is a ~1.4 MB/s tunnel, so host round-trips are
-    # excluded from the compute metric by construction.
-    runner = make_tiled_infer(fn, scale=4, tile=tile, halo=halo, batch=batch,
-                              h=h, w=w, channels=3)
+    # Fully on-device two-stage tiled inference: the compute-bound trunk
+    # runs over ALL tiles in one batch (best MXU utilization), the
+    # memory-bound x4 tail is mapped in small chunks. In production the HR
+    # output stays in HBM (metrics / uint16 quantize / collective
+    # write-out). This dev harness's host link is a ~1.4 MB/s tunnel, so
+    # host round-trips are excluded from the compute metric by construction.
+    runner = make_tiled_infer_staged(
+        trunk_fn, tail_fn, scale=4, tile=tile, halo=halo, tail_batch=batch,
+        h=h, w=w, channels=3)
     img = jax.random.uniform(jax.random.key(1), (h, w, 3), jnp.float32)
 
     out = runner(img)  # compile + warmup

@@ -36,11 +36,23 @@ class PairedDataset:
         import os
         return p if os.path.isabs(p) else os.path.join(self.base, p)
 
+    @staticmethod
+    def _load(path: str) -> np.ndarray:
+        # native C++ decoder fast path for the TIFF dataset format;
+        # PIL fallback covers everything else
+        if path.endswith((".tif", ".tiff")):
+            from superresolution_tpu.data.native_io import decode_tiff
+
+            arr = decode_tiff(path)
+            if arr is not None:
+                return arr
+        return load_image(path)
+
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
         e = self.entries[i]
         try:
-            hr = load_image(self._resolve(e["hubble_path"]))
-            lr = load_image(self._resolve(e["ground_path"]))
+            hr = self._load(self._resolve(e["hubble_path"]))
+            lr = self._load(self._resolve(e["ground_path"]))
             if self.hr_size and hr.shape[0] != self.hr_size:
                 raise ValueError(f"hr size {hr.shape} != {self.hr_size}")
             if self.lr_size and lr.shape[0] != self.lr_size:

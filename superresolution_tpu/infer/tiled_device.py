@@ -63,6 +63,67 @@ def make_tiled_infer(fn, scale: int, tile: int, halo: int, batch: int,
     return run
 
 
+def make_tiled_infer_staged(trunk_fn, tail_fn, scale: int, tile: int,
+                            halo: int, tail_batch: int, h: int, w: int,
+                            channels: int, trunk_batch: int | None = None):
+    """Two-stage tiled runner for trunk/tail-split SR models.
+
+    The LR-resolution trunk is compute-bound: run it over the biggest tile
+    batch that fits (default: ALL tiles at once — on v5e this lifts the
+    fused-dense trunk from ~23 to ~40 TF/s vs batch-5). The tail
+    materializes x`scale` tensors and is memory-bound: lax.map it in
+    `tail_batch` chunks. Both stages live in one jitted program.
+    """
+    ny, nx = -(-h // tile), -(-w // tile)
+    n = ny * nx
+    t_in = tile + 2 * halo
+    ts = tile * scale
+    hs = halo * scale
+
+    tb = tail_batch
+    n_pad_tail = (-n) % tb
+    kb = trunk_batch or n
+    n_pad_trunk = (-n) % kb
+    coords = jnp.asarray([(iy * tile, ix * tile)
+                          for iy in range(ny) for ix in range(nx)]
+                         + [(0, 0)] * max(n_pad_trunk, n_pad_tail),
+                         dtype=jnp.int32)
+
+    @jax.jit
+    def run(img: jnp.ndarray) -> jnp.ndarray:
+        ph, pw = ny * tile - h, nx * tile - w
+        padded = jnp.pad(img, ((halo, ph + halo), (halo, pw + halo), (0, 0)),
+                         mode="edge")
+
+        def gather_tile(c):
+            return jax.lax.dynamic_slice(
+                padded, (c[0], c[1], 0), (t_in, t_in, channels))
+
+        tiles = jax.vmap(gather_tile)(coords[: n + n_pad_trunk])
+        if kb >= n + n_pad_trunk:
+            feats = trunk_fn(tiles)
+        else:
+            feats = jax.lax.map(
+                trunk_fn, tiles.reshape(-1, kb, t_in, t_in, channels))
+            feats = feats.reshape(-1, *feats.shape[2:])
+        feats = feats[:n]
+        cf = feats.shape[-1]
+        if n_pad_tail:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((n_pad_tail, t_in, t_in, cf),
+                                  feats.dtype)])
+        outs = jax.lax.map(tail_fn, feats.reshape(-1, tb, t_in, t_in, cf))
+        outs = outs.reshape(-1, t_in * scale, t_in * scale,
+                            outs.shape[-1])[:n]
+        outs = outs[:, hs:hs + ts, hs:hs + ts, :]
+        c_out = outs.shape[-1]
+        grid = outs.reshape(ny, nx, ts, ts, c_out)
+        full = grid.transpose(0, 2, 1, 3, 4).reshape(ny * ts, nx * ts, c_out)
+        return full[: h * scale, : w * scale]
+
+    return run
+
+
 def upscale_on_device(img, scale: int, model, params, tile: int = 256,
                       halo: int = 16, batch: int = 8,
                       compute_dtype=jnp.bfloat16):

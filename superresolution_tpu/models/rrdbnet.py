@@ -114,6 +114,12 @@ class _RRDBScanBody(nn.Module):
 
 
 class RRDBNet(nn.Module):
+    """Exposes `trunk` (LR-resolution body) and `tail` (x`scale` upsampling
+    head) as separate apply methods so tiled inference can batch them
+    differently: the trunk is compute-bound and wants the biggest batch
+    that fits; the tail materializes HR-resolution tensors and is
+    memory-bound (see infer/tiled_device.make_tiled_infer_staged)."""
+
     scale: int = 4
     in_channels: int = 3
     out_channels: int = 3
@@ -124,25 +130,41 @@ class RRDBNet(nn.Module):
     scan_blocks: bool = True
     fused_dense: bool = True  # MXU-shaped dense blocks (FusedDenseBlock)
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = head = Conv(self.features)(x)
+    def setup(self):
+        self.conv_first = Conv(self.features)
         if self.scan_blocks:
-            scanned = nn.scan(
+            self.body = nn.scan(
                 _RRDBScanBody,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.num_blocks,
-            )(self.features, self.growth, self.fused_dense,
-              name="rrdb_blocks")
-            x, _ = scanned(x, None)
+            )(self.features, self.growth, self.fused_dense)
         else:
-            for _ in range(self.num_blocks):
-                x = RRDB(self.features, self.growth, self.fused_dense)(x)
-        x = Conv(self.features)(x) + head
+            self.body_blocks = [
+                RRDB(self.features, self.growth, self.fused_dense)
+                for _ in range(self.num_blocks)]
+        self.trunk_conv = Conv(self.features)
         if self.upsampler == "pixelshuffle":
-            x = PixelShuffleUpsampler(self.scale, self.features, act=lrelu)(x)
+            self.up = PixelShuffleUpsampler(self.scale, self.features,
+                                            act=lrelu)
         else:
-            x = NearestConvUpsampler(self.scale, self.features)(x)
-        x = lrelu(Conv(self.features)(x))
-        return Conv(self.out_channels)(x)
+            self.up = NearestConvUpsampler(self.scale, self.features)
+        self.conv_hr = Conv(self.features)
+        self.conv_last = Conv(self.out_channels)
+
+    def trunk(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = head = self.conv_first(x)
+        if self.scan_blocks:
+            x, _ = self.body(x, None)
+        else:
+            for blk in self.body_blocks:
+                x = blk(x)
+        return self.trunk_conv(x) + head
+
+    def tail(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = self.up(x)
+        x = lrelu(self.conv_hr(x))
+        return self.conv_last(x)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.tail(self.trunk(x))
