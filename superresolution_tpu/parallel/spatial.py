@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.7 public API; fall back for older versions
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 def spatial_shard_apply(mesh: Mesh, fn, img: jnp.ndarray, halo: int,

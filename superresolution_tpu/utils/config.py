@@ -79,7 +79,8 @@ class LossConfig:
     star_weight: float = 500.0
     charbonnier_eps: float = 1e-6
     astro_weight_scale: float = 5.0
-    perceptual_layers: tuple[str, ...] = ("relu4_1",)
+    # torchvision vgg19.features[:18] == relu3_4 (reference Backup/src/losses.py:28)
+    perceptual_layers: tuple[str, ...] = ("relu3_4",)
     gan_weight: float = 0.005
     perceptual_weight: float = 0.05
 
