@@ -63,9 +63,10 @@ def make_tiled_infer(fn, scale: int, tile: int, halo: int, batch: int,
     return run
 
 
-def make_tiled_infer_staged(trunk_fn, tail_fn, scale: int, tile: int,
-                            halo: int, tail_batch: int, h: int, w: int,
-                            channels: int, trunk_batch: int | None = None):
+def make_tiled_infer_staged(trunk_fn, tail_fn, scale: int, tile, halo: int,
+                            tail_batch: int, h: int, w: int, channels: int,
+                            trunk_batch: int | None = None,
+                            split_stages: bool = False):
     """Two-stage tiled runner for trunk/tail-split SR models.
 
     The LR-resolution trunk is compute-bound: run it over the biggest tile
@@ -73,53 +74,68 @@ def make_tiled_infer_staged(trunk_fn, tail_fn, scale: int, tile: int,
     fused-dense trunk from ~23 to ~40 TF/s vs batch-5). The tail
     materializes x`scale` tensors and is memory-bound: lax.map it in
     `tail_batch` chunks. Both stages live in one jitted program.
+
+    `tile` may be an int or an (th, tw) pair — rectangular tiles let the
+    grid divide non-square images with zero padding waste.
+    With split_stages=True, returns (run_trunk, run_tail) as two separate
+    jitted callables (for per-stage profiling) instead of one fused runner.
     """
-    ny, nx = -(-h // tile), -(-w // tile)
+    th_t, tw_t = (tile, tile) if isinstance(tile, int) else tile
+    ny, nx = -(-h // th_t), -(-w // tw_t)
     n = ny * nx
-    t_in = tile + 2 * halo
-    ts = tile * scale
+    ti_h, ti_w = th_t + 2 * halo, tw_t + 2 * halo
+    ts_h, ts_w = th_t * scale, tw_t * scale
     hs = halo * scale
 
     tb = tail_batch
     n_pad_tail = (-n) % tb
     kb = trunk_batch or n
     n_pad_trunk = (-n) % kb
-    coords = jnp.asarray([(iy * tile, ix * tile)
+    coords = jnp.asarray([(iy * th_t, ix * tw_t)
                           for iy in range(ny) for ix in range(nx)]
                          + [(0, 0)] * max(n_pad_trunk, n_pad_tail),
                          dtype=jnp.int32)
 
-    @jax.jit
-    def run(img: jnp.ndarray) -> jnp.ndarray:
-        ph, pw = ny * tile - h, nx * tile - w
+    def run_trunk(img: jnp.ndarray):
+        ph, pw = ny * th_t - h, nx * tw_t - w
         padded = jnp.pad(img, ((halo, ph + halo), (halo, pw + halo), (0, 0)),
                          mode="edge")
 
         def gather_tile(c):
             return jax.lax.dynamic_slice(
-                padded, (c[0], c[1], 0), (t_in, t_in, channels))
+                padded, (c[0], c[1], 0), (ti_h, ti_w, channels))
 
         tiles = jax.vmap(gather_tile)(coords[: n + n_pad_trunk])
         if kb >= n + n_pad_trunk:
             feats = trunk_fn(tiles)
         else:
             feats = jax.lax.map(
-                trunk_fn, tiles.reshape(-1, kb, t_in, t_in, channels))
+                trunk_fn, tiles.reshape(-1, kb, ti_h, ti_w, channels))
             feats = feats.reshape(-1, *feats.shape[2:])
-        feats = feats[:n]
+        return feats[:n]
+
+    def run_tail(feats: jnp.ndarray) -> jnp.ndarray:
         cf = feats.shape[-1]
         if n_pad_tail:
             feats = jnp.concatenate(
-                [feats, jnp.zeros((n_pad_tail, t_in, t_in, cf),
+                [feats, jnp.zeros((n_pad_tail, ti_h, ti_w, cf),
                                   feats.dtype)])
-        outs = jax.lax.map(tail_fn, feats.reshape(-1, tb, t_in, t_in, cf))
-        outs = outs.reshape(-1, t_in * scale, t_in * scale,
+        outs = jax.lax.map(tail_fn, feats.reshape(-1, tb, ti_h, ti_w, cf))
+        outs = outs.reshape(-1, ti_h * scale, ti_w * scale,
                             outs.shape[-1])[:n]
-        outs = outs[:, hs:hs + ts, hs:hs + ts, :]
+        outs = outs[:, hs:hs + ts_h, hs:hs + ts_w, :]
         c_out = outs.shape[-1]
-        grid = outs.reshape(ny, nx, ts, ts, c_out)
-        full = grid.transpose(0, 2, 1, 3, 4).reshape(ny * ts, nx * ts, c_out)
+        grid = outs.reshape(ny, nx, ts_h, ts_w, c_out)
+        full = grid.transpose(0, 2, 1, 3, 4).reshape(ny * ts_h, nx * ts_w,
+                                                     c_out)
         return full[: h * scale, : w * scale]
+
+    if split_stages:
+        return jax.jit(run_trunk), jax.jit(run_tail)
+
+    @jax.jit
+    def run(img: jnp.ndarray) -> jnp.ndarray:
+        return run_tail(run_trunk(img))
 
     return run
 

@@ -23,7 +23,11 @@ class ResBlock(nn.Module):
     def __call__(self, x):
         y = Conv(self.features)(x)
         y = nn.relu(y)
-        y = Conv(self.features)(y)
+        # residual-branch output conv initialized at 0.1x MSRA: with
+        # res_scale 1.0 and no BN, unit-gain init doubles activation
+        # variance per block (2^16 blowup for EDSR-16); the down-scaled
+        # branch keeps the trunk near-identity at init.
+        y = Conv(self.features, init_scale=0.1)(y)
         return x + y * jnp.asarray(self.res_scale, x.dtype)
 
 
