@@ -6,33 +6,38 @@ connectivity, LeakyReLU(0.2), residual scale 0.2) for a row band of one
 batch element, entirely in VMEM:
 
   * the input band streams HBM->VMEM once per grid step (halo 5 covers the
-    whole 5-conv chain) and the output is written once — the four
-    intermediate feature maps never touch HBM;
-  * every conv is an im2col matmul: the 9 taps are staged into an aligned
-    VMEM scratch (Mosaic cannot concatenate shifted slices directly) so
-    the contraction dim becomes K = 9*C_in = 576 (first conv) / 288
-    (growth convs) instead of the 64/32 that caps the XLA conv path at
-    ~21% MFU on v5e;
-  * accumulation in fp32 on the MXU, bf16 storage (XLA-path parity).
+    whole 5-conv chain); the four intermediate feature maps never touch
+    HBM;
+  * every conv is an im2col matmul: the 9 taps are staged into a VMEM
+    scratch so the contraction dim becomes K = 9*C_in (576 first conv /
+    288 growth convs) instead of the 64/32 that caps the XLA conv path at
+    ~21% MFU on v5e.
 
-Boundary semantics: the input is zero-padded by 5 once and the 5 convs run
-valid — identical to SAME-conv output except within 5 px of the image
-border (the halo-tiling contract; use halo >= 5*n_blocks when tiling).
+Mosaic constraints shaped the layout (found by probing the compiler):
+slice SIZES along the sublane (width) dim must be 8-aligned; vector
+concats of shifted slices and lane-split reshapes are unsupported; rolls
+must have non-negative shifts and 32-bit data (bf16 goes through an int32
+lane-pair bitcast). Hence every stage keeps ONE constant 8-aligned width
+`s`: column taps come from positive rolls (wrap garbage enters only the
+outermost column per stage and the final crop discards a >=5-column
+margin), row taps are plain slices (the row dim has no alignment rule)
+shrinking 2 rows per stage.
 
-Weight layout: [9*C_in, C_out], tap-major (kernel positions (dy,dx) in
-raster order), from `pack_fused_weights`.
+STATUS: EXPERIMENTAL — exact under the Pallas interpreter
+(tests/test_pallas_dense.py) but still rejected by this libtpu's Mosaic:
+the remaining blocker is the im2col staging store
+`cols_ref[:, t*cin:(t+1)*cin] = tap`, which needs LANE-dim slices of
+width 64/32 ("Slice shape along dimension 3 must be aligned to tiling
+(128)"). Padding each tap to 128 lanes fits the rule but costs 2-4x MACs
+on zero rows and blows VMEM, erasing the K-packing gain. The production
+trunk therefore stays on the XLA conv path (~36-42 TF/s at batch >= 15);
+revisit when Mosaic lifts the lane-slice alignment restriction.
 
-STATUS: EXPERIMENTAL — correct under the Pallas interpreter (see
-tests/test_pallas_dense.py) but rejected by the Mosaic compiler on v5e:
-the shrinking per-stage regions produce (a) vector concats of shifted
-slices with mismatched layouts and (b) memref slices whose sublane sizes
-are not 8-aligned ("Slice shape along dimension 2 must be aligned to
-tiling (8)"). Uniform-region variants fix alignment but either blow the
-VMEM budget (the 9x im2col buffer) or pay >1.5x halo recompute, erasing
-the MXU-utilization gain. The production trunk therefore uses the XLA
-conv path (models/rrdbnet.py FusedDenseBlock, ~36-42 TF/s on v5e at batch
->= 15); revisit when Mosaic supports unaligned slicing or a native
-conv primitive.
+Boundary semantics: input zero-padded once, valid chain — identical to
+SAME convs except within 5 px of the border (the halo-tiling contract;
+use halo >= 5 per block when tiling).
+
+Weight layout: [9*C_in, C_out] tap-major from `pack_fused_weights`.
 """
 
 from __future__ import annotations
@@ -49,68 +54,80 @@ def _lrelu(v):
     return jnp.where(v >= 0, v, 0.2 * v)
 
 
-def _conv_im2col(src, rows, cols_, cin, w_ref, cols_ref, out_dtype):
-    """src: [rows+2, cols_+2, cin] value. Stages 9 shifted taps into
-    `cols_ref` ([max_rows, 9*max_cin] scratch) and runs one matmul."""
-    m = rows * cols_
+def _roll_cols(v, shift: int):
+    """Positive roll along dim 1 (columns/sublanes). Mosaic's rotate only
+    supports 32-bit data, so bf16 lane-pairs are bitcast through int32 —
+    the column roll does not mix lanes, so packing is transparent."""
+    if shift == 0:
+        return v
+    if v.dtype == jnp.bfloat16 and v.shape[-1] % 2 == 0:
+        vi = pltpu.bitcast(v, jnp.int32)
+        vi = pltpu.roll(vi, shift, 1)
+        return pltpu.bitcast(vi, jnp.bfloat16)
+    return pltpu.roll(v, shift, 1)
+
+
+def _conv_stage(src, rows_out, s, cin, w_ref, cols_ref):
+    """3x3 conv at constant width `s` with centered taps.
+
+    src: [rows_out+2, s, cin] value. Output [rows_out, s, cout_f32]:
+    out[r, j] = sum_{dy,dx} w[dy,dx] * src[r+dy, j+dx-1]  (column via roll).
+    """
+    m = rows_out * s
     for t, (dy, dx) in enumerate([(y, x) for y in range(3) for x in range(3)]):
-        tap = src[dy:dy + rows, dx:dx + cols_, :].reshape(m, cin)
-        cols_ref[0:m, t * cin:(t + 1) * cin] = tap
-    acc = jnp.dot(cols_ref[0:m, 0:9 * cin], w_ref[:],
-                  preferred_element_type=jnp.float32)
-    return acc.astype(out_dtype)
+        rs = src[dy:dy + rows_out, :, :]
+        shift = (1 - dx) % s  # dx-1 column offset as a positive roll
+        tap = _roll_cols(rs, shift)
+        cols_ref[0:m, t * cin:(t + 1) * cin] = tap.reshape(m, cin)
+    return jnp.dot(cols_ref[0:m, 0:9 * cin], w_ref[:],
+                   preferred_element_type=jnp.float32)
 
 
 def _kernel(x_hbm, wx_ref, w1_ref, w2_ref, w3_ref, w4_ref, b_ref, out_ref,
-            x_band, cols_ref, sem, *, th, w_len, c, g):
+            x_band, cols_ref, sem, *, th, w_len, s, c, g):
     bi = pl.program_id(0)
     i = pl.program_id(1)
-    # input pre-padded by 5 on each spatial side; band needs th + 10 rows
     dma = pltpu.make_async_copy(
         x_hbm.at[bi, pl.ds(i * th, th + 10)], x_band, sem)
     dma.start()
     dma.wait()
-    xb = x_band[:]  # [th+10, w+10, c]
+    xb = x_band[:]  # [th+10, s, c]; image col p at buffer col p+5
     dt = xb.dtype
     co_px = 4 * g + c
 
-    # px over region radius 4: [th+8, w+8]
-    r1, c1 = th + 8, w_len + 8
-    px = _conv_im2col(xb, r1, c1, c, wx_ref, cols_ref, jnp.float32)
-    px = (px + b_ref[:].reshape(1, co_px)).reshape(r1, c1, co_px).astype(dt)
+    r1 = th + 8
+    px = _conv_stage(xb, r1, s, c, wx_ref, cols_ref)
+    px = (px + b_ref[:].reshape(1, co_px)).reshape(r1, s, co_px).astype(dt)
 
     y1 = _lrelu(px[..., :g])
-    r2, c2 = th + 6, w_len + 6
-    p1 = _conv_im2col(y1, r2, c2, g, w1_ref, cols_ref,
-                      dt).reshape(r2, c2, 3 * g + c)
+    r2 = th + 6
+    p1 = _conv_stage(y1, r2, s, g, w1_ref,
+                     cols_ref).reshape(r2, s, 3 * g + c).astype(dt)
 
-    # px has radius 4; each later map has radius one less -> slice offsets
-    y2 = _lrelu(px[1:1 + r2, 1:1 + c2, g:2 * g] + p1[..., :g])
-    r3, c3 = th + 4, w_len + 4
-    p2 = _conv_im2col(y2, r3, c3, g, w2_ref, cols_ref,
-                      dt).reshape(r3, c3, 2 * g + c)
+    y2 = _lrelu(px[1:1 + r2, :, g:2 * g] + p1[..., :g])
+    r3 = th + 4
+    p2 = _conv_stage(y2, r3, s, g, w2_ref,
+                     cols_ref).reshape(r3, s, 2 * g + c).astype(dt)
 
-    y3 = _lrelu(px[2:2 + r3, 2:2 + c3, 2 * g:3 * g]
-                + p1[1:1 + r3, 1:1 + c3, g:2 * g]
-                + p2[..., :g])
-    r4, c4 = th + 2, w_len + 2
-    p3 = _conv_im2col(y3, r4, c4, g, w3_ref, cols_ref,
-                      dt).reshape(r4, c4, g + c)
+    y3 = _lrelu(px[2:2 + r3, :, 2 * g:3 * g]
+                + p1[1:1 + r3, :, g:2 * g] + p2[..., :g])
+    r4 = th + 2
+    p3 = _conv_stage(y3, r4, s, g, w3_ref,
+                     cols_ref).reshape(r4, s, g + c).astype(dt)
 
-    y4 = _lrelu(px[3:3 + r4, 3:3 + c4, 3 * g:4 * g]
-                + p1[2:2 + r4, 2:2 + c4, 2 * g:3 * g]
-                + p2[1:1 + r4, 1:1 + c4, g:2 * g]
-                + p3[..., :g])
-    r5, c5 = th, w_len
-    p4 = _conv_im2col(y4, r5, c5, g, w4_ref, cols_ref,
-                      dt).reshape(r5, c5, c)
+    y4 = _lrelu(px[3:3 + r4, :, 3 * g:4 * g]
+                + p1[2:2 + r4, :, 2 * g:3 * g]
+                + p2[1:1 + r4, :, g:2 * g] + p3[..., :g])
+    r5 = th
+    p4 = _conv_stage(y4, r5, s, g, w4_ref,
+                     cols_ref).reshape(r5, s, c).astype(dt)
 
-    acc = (px[4:4 + r5, 4:4 + c5, 4 * g:]
-           + p1[3:3 + r5, 3:3 + c5, 3 * g:]
-           + p2[2:2 + r5, 2:2 + c5, 2 * g:]
-           + p3[1:1 + r5, 1:1 + c5, g:]
+    acc = (px[4:4 + r5, :, 4 * g:]
+           + p1[3:3 + r5, :, 3 * g:]
+           + p2[2:2 + r5, :, 2 * g:]
+           + p3[1:1 + r5, :, g:]
            + p4)
-    center = xb[5:5 + r5, 5:5 + c5, :]
+    center = xb[5:5 + r5, :, :]
     out_ref[0] = (center + jnp.asarray(0.2, dt) * acc).astype(out_ref.dtype)
 
 
@@ -123,23 +140,24 @@ def fused_dense_block_pallas(x: jnp.ndarray, wx, w1, w2, w3, w4, bias,
     g = (wx.shape[-1] - c) // 4
     if h % th:
         raise ValueError(f"H={h} not divisible by th={th}")
-    xp = jnp.pad(x, ((0, 0), (5, 5), (5, 5), (0, 0)))
+    s = -(-(wd + 10) // 8) * 8  # constant 8-aligned stage width
+    xp = jnp.pad(x, ((0, 0), (5, 5), (5, s - wd - 5), (0, 0)))
 
     grid = (bsz, h // th)
-    kern = partial(_kernel, th=th, w_len=wd, c=c, g=g)
+    kern = partial(_kernel, th=th, w_len=wd, s=s, c=c, g=g)
     macs = (9 * c * (4 * g + c) + 9 * g * (3 * g + c) + 9 * g * (2 * g + c)
-            + 9 * g * (g + c) + 9 * g * c) * h * wd * bsz
-    max_m = (th + 8) * (wd + 8)
-    return pl.pallas_call(
+            + 9 * g * (g + c) + 9 * g * c) * h * s * bsz
+    max_m = (th + 8) * s
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] +
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec((1, th, wd, c), lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, th, s, c), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, wd, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, s, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 10, wd + 10, c), x.dtype),
+            pltpu.VMEM((th + 10, s, c), x.dtype),
             pltpu.VMEM((max_m, 9 * c), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
@@ -147,6 +165,7 @@ def fused_dense_block_pallas(x: jnp.ndarray, wx, w1, w2, w3, w4, bias,
             flops=2 * macs, bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=0),
     )(xp, wx, w1, w2, w3, w4, bias)
+    return out[:, :, 5:5 + wd, :]
 
 
 def pack_fused_weights(params: dict, c: int, g: int):

@@ -14,6 +14,14 @@ guide.
 Numerics: accumulation in float32 regardless of input dtype; output cast
 to the input dtype. Channel ordering matches ops/pixel_shuffle.py
 (torch.PixelShuffle-compatible).
+
+STATUS: EXPERIMENTAL — verified under the Pallas interpreter
+(tests/test_pallas.py); the Mosaic compiler on v5e currently rejects the
+in-kernel 5-D depth-to-space reshape ("unsupported shape cast:
+vector<1024x256> -> vector<8x128x64x2x2>"). The production sub-pixel path
+uses ops/pixel_shuffle.py + XLA convs (models/common.PixelShuffleUpsampler),
+which XLA fuses into the conv epilogue. Revisit when Mosaic grows
+multi-dim reshape support, or restructure with deferred row-interleave.
 """
 
 from __future__ import annotations
