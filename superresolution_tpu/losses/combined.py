@@ -43,6 +43,13 @@ class CombinedLoss:
             elif name == "star_l1":
                 v = star_weighted_l1(pred, target, cfg.star_threshold,
                                      cfg.star_weight)
+            elif name == "star_l1_pallas":
+                from superresolution_tpu.ops.pallas_loss import (
+                    star_weighted_l1_pallas)
+
+                v = star_weighted_l1_pallas(pred, target,
+                                            cfg.star_threshold,
+                                            cfg.star_weight)
             elif name == "astro":
                 v = astro_loss(pred, target, cfg.astro_weight_scale,
                                cfg.charbonnier_eps)
