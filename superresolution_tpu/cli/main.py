@@ -109,6 +109,22 @@ def cmd_benchmark(args):
     bench.main()
 
 
+def cmd_show_result(args):
+    import numpy as np
+
+    from superresolution_tpu.data.io import load_image
+    from superresolution_tpu.utils.collage import frame_and_label_collage
+
+    imgs = [load_image(p) for p in args.images]
+    h = max(i.shape[0] for i in imgs)
+    imgs = [np.pad(i, ((0, h - i.shape[0]), (0, 0), (0, 0))) for i in imgs]
+    strip = np.concatenate(imgs, axis=1)
+    labels = (args.labels.split(",") if args.labels
+              else ["Input", "Result", "Target"][: len(imgs)])
+    out = frame_and_label_collage(strip, args.output, labels=tuple(labels))
+    print(f"collage -> {out}")
+
+
 def cmd_presets(args):
     from superresolution_tpu.utils.config import presets
 
@@ -155,6 +171,13 @@ def build_parser():
 
     s = sub.add_parser("benchmark")
     s.set_defaults(fn=cmd_benchmark)
+
+    s = sub.add_parser("show-result")
+    s.add_argument("--images", nargs="+", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--labels", default=None,
+                   help="comma-separated panel labels")
+    s.set_defaults(fn=cmd_show_result)
 
     s = sub.add_parser("presets")
     s.set_defaults(fn=cmd_presets)
