@@ -18,13 +18,17 @@ import numpy as np
 
 from superresolution_tpu.data.dataset import PairedDataset, SyntheticHRDataset
 from superresolution_tpu.data.io import save_png
-from superresolution_tpu.data.loader import Loader
+from superresolution_tpu.data.loader import Loader, prefetch_to_device
 from superresolution_tpu.losses.combined import CombinedLoss
 from superresolution_tpu.metrics.psnr_ssim import Metrics
 from superresolution_tpu.models.discriminator import VGGStyleDiscriminator
 from superresolution_tpu.models.factory import build_from_config, total_scale
 from superresolution_tpu.ops.resize import resize_nearest
-from superresolution_tpu.parallel.mesh import create_mesh, shard_batch
+from superresolution_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    shard_batch,
+)
 from superresolution_tpu.train.checkpoint import CheckpointManager
 from superresolution_tpu.train.gan import make_gan_steps
 from superresolution_tpu.train.logging import MetricsLogger
@@ -159,10 +163,14 @@ class Trainer:
             self.train_loader.set_epoch(epoch)
             epoch_logs = None
             nb = 0
-            for batch in self.train_loader:
+            # double-buffered host->HBM prefetch: the next batch transfers
+            # (sharded over the data axis) while the current step runs
+            batches = prefetch_to_device(self.train_loader,
+                                         size=self.cfg.data.prefetch,
+                                         sharding=batch_sharding(self.mesh))
+            for batch in batches:
                 step = int(self.state.step)
                 key = jax.random.fold_in(self._base_key, step)
-                batch = shard_batch(self.mesh, batch)
                 if self.is_gan:
                     self.state, self.d_state, logs = self._gan_step(
                         self.state, self.d_state, batch, key)
