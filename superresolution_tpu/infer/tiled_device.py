@@ -14,8 +14,6 @@ half receptive field <= halo).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -33,7 +33,6 @@ from superresolution_tpu.train.checkpoint import CheckpointManager
 from superresolution_tpu.train.gan import make_gan_steps
 from superresolution_tpu.train.logging import MetricsLogger
 from superresolution_tpu.train.state import (
-    TrainState,
     create_train_state,
     make_optimizer,
 )
