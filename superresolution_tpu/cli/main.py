@@ -94,8 +94,14 @@ def cmd_upscale(args):
     from superresolution_tpu.infer import upscale
 
     img = load_image(args.input)
-    out = upscale(img, scale=args.scale, model=args.model, tile=args.tile,
-                  halo=args.halo, blend=args.blend)
+    params = None
+    if args.ckpt:
+        from superresolution_tpu.train.checkpoint import (
+            load_params_for_inference)
+
+        params = load_params_for_inference(args.ckpt)
+    out = upscale(img, scale=args.scale, model=args.model, params=params,
+                  tile=args.tile, halo=args.halo, blend=args.blend)
     if args.output.endswith((".tif", ".tiff")) and out.shape[-1] == 1:
         save_tiff16(out, args.output)
     else:
@@ -164,6 +170,9 @@ def build_parser():
     s.add_argument("--output", required=True)
     s.add_argument("--scale", type=int, default=4)
     s.add_argument("--model", default="rrdbnet")
+    s.add_argument("--ckpt", default=None,
+                   help="checkpoint dir (training checkpoints or "
+                        "final_weights/best) to load params from")
     s.add_argument("--tile", type=int, default=256)
     s.add_argument("--halo", type=int, default=16)
     s.add_argument("--blend", default="crop", choices=["crop", "hann"])

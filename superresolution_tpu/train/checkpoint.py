@@ -104,6 +104,26 @@ class CheckpointManager:
         return dst
 
 
+def load_params_for_inference(ckpt_dir: str, prefer_ema: bool = True):
+    """Load model params (EMA if present) from a CheckpointManager dir or a
+    finalized `final_weights/best` directory, without needing the train
+    state structure — the inference-side consumer of the checkpoint
+    contract (reference scripts/Modello_5.py:58-65)."""
+    import os
+
+    path = ckpt_dir
+    if os.path.exists(os.path.join(ckpt_dir, "meta.json")):
+        mgr = CheckpointManager(ckpt_dir)
+        step = mgr.meta.get("best_step") or mgr.meta.get("last_step")
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+        path = mgr._step_dir(step)
+    tree = ocp.StandardCheckpointer().restore(path)
+    if prefer_ema and tree.get("ema_params") is not None:
+        return tree["ema_params"]
+    return tree["params"]
+
+
 def params_probe(expected_key_path: str):
     """Returns a probe asserting a parameter path exists in a finalized
     checkpoint (the analog of the reference's 'stage1.conv_first.weight'
