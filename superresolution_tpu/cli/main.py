@@ -95,12 +95,26 @@ def cmd_upscale(args):
 
     img = load_image(args.input)
     params = None
+    model = args.model
+    scale = args.scale
     if args.ckpt:
         from superresolution_tpu.train.checkpoint import (
             load_params_for_inference)
 
-        params = load_params_for_inference(args.ckpt)
-    out = upscale(img, scale=args.scale, model=args.model, params=params,
+        params, mc = load_params_for_inference(args.ckpt, with_config=True)
+        if mc:
+            # rebuild the exact trained architecture from the checkpoint
+            from superresolution_tpu.models.factory import (
+                build_from_config, total_scale)
+            from superresolution_tpu.utils.config import ModelConfig
+
+            mc.pop("output_size", None)
+            mcfg = ModelConfig(**mc)
+            # output_size=None: tiles must keep their natural x-scale size
+            # (the fixed-resize slot only applies to whole-patch training)
+            model = build_from_config(mcfg, output_size=None)
+            scale = total_scale(mcfg)
+    out = upscale(img, scale=scale, model=model, params=params,
                   tile=args.tile, halo=args.halo, blend=args.blend)
     if args.output.endswith((".tif", ".tiff")) and out.shape[-1] == 1:
         save_tiff16(out, args.output)

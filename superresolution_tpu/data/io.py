@@ -42,7 +42,10 @@ def save_tiff16(arr: np.ndarray, path: str) -> None:
         a = a[..., 0]
     a16 = (np.clip(a, 0.0, 1.0) * 65535.0).astype(np.uint16)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    Image.fromarray(a16, mode="I;16").save(path)
+    im = Image.fromarray(a16)  # uint16 -> mode 'I;16' (Pillow >= 10)
+    if im.mode != "I;16":  # pragma: no cover - older Pillow
+        im = im.convert("I;16")
+    im.save(path)
 
 
 def save_png(arr: np.ndarray, path: str) -> None:

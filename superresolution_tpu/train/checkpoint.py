@@ -17,7 +17,8 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 3):
+    def __init__(self, directory: str, keep: int = 3,
+                 model_config: dict | None = None):
         self.dir = os.path.abspath(directory)
         os.makedirs(self.dir, exist_ok=True)
         self.keep = keep
@@ -28,6 +29,18 @@ class CheckpointManager:
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 self.meta = json.load(f)
+        # persist the model architecture next to the weights so inference
+        # can rebuild the exact module from the checkpoint dir alone
+        self._cfg_path = os.path.join(self.dir, "model_config.json")
+        if model_config is not None:
+            with open(self._cfg_path, "w") as f:
+                json.dump(model_config, f, indent=2)
+
+    def model_config(self) -> dict | None:
+        if os.path.exists(self._cfg_path):
+            with open(self._cfg_path) as f:
+                return json.load(f)
+        return None
 
     def _save_meta(self) -> None:
         with open(self._meta_path, "w") as f:
@@ -99,29 +112,46 @@ class CheckpointManager:
         if os.path.exists(dst):
             shutil.rmtree(dst)
         shutil.copytree(src, dst)
+        if os.path.exists(self._cfg_path):
+            shutil.copy(self._cfg_path,
+                        os.path.join(out_dir, "model_config.json"))
         if probe is not None:
             probe(dst)
         return dst
 
 
-def load_params_for_inference(ckpt_dir: str, prefer_ema: bool = True):
+def load_params_for_inference(ckpt_dir: str, prefer_ema: bool = True,
+                              with_config: bool = False):
     """Load model params (EMA if present) from a CheckpointManager dir or a
     finalized `final_weights/best` directory, without needing the train
     state structure — the inference-side consumer of the checkpoint
-    contract (reference scripts/Modello_5.py:58-65)."""
+    contract (reference scripts/Modello_5.py:58-65). With with_config=True,
+    also returns the saved model-architecture dict (or None)."""
     import os
 
     path = ckpt_dir
+    cfg = None
+    cfg_path = os.path.join(ckpt_dir, "model_config.json")
     if os.path.exists(os.path.join(ckpt_dir, "meta.json")):
         mgr = CheckpointManager(ckpt_dir)
         step = mgr.meta.get("best_step") or mgr.meta.get("last_step")
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
         path = mgr._step_dir(step)
+        cfg = mgr.model_config()
+    elif os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+    elif os.path.exists(os.path.join(os.path.dirname(ckpt_dir),
+                                     "model_config.json")):
+        with open(os.path.join(os.path.dirname(ckpt_dir),
+                               "model_config.json")) as f:
+            cfg = json.load(f)
     tree = ocp.StandardCheckpointer().restore(path)
-    if prefer_ema and tree.get("ema_params") is not None:
-        return tree["ema_params"]
-    return tree["params"]
+    params = (tree["ema_params"]
+              if prefer_ema and tree.get("ema_params") is not None
+              else tree["params"])
+    return (params, cfg) if with_config else params
 
 
 def params_probe(expected_key_path: str):

@@ -123,9 +123,13 @@ class Trainer:
             use_ema=config.train.ema_decay is not None))
 
         # --- ckpt/logging ---
+        import dataclasses as _dc
+
+        model_cfg = dict(_dc.asdict(config.model), output_size=output_size)
         self.ckpt = CheckpointManager(
             os.path.join(self.workdir, "checkpoints"),
-            keep=config.train.keep_checkpoints)
+            keep=config.train.keep_checkpoints,
+            model_config=model_cfg)
         self.logger = MetricsLogger(os.path.join(self.workdir, "logs"))
         self.start_epoch = 0
         if config.train.resume:
