@@ -129,15 +129,23 @@ class RRDBNet(nn.Module):
     upsampler: str = "nearest_conv"  # 'nearest_conv' | 'pixelshuffle'
     scan_blocks: bool = True
     fused_dense: bool = True  # MXU-shaped dense blocks (FusedDenseBlock)
+    # unroll N scan iterations per XLA loop step (cross-block fusion at
+    # modest compile cost); remat rematerializes each block's activations
+    # in backward (O(sqrt) memory for deep trunks at 512^2 training)
+    scan_unroll: int = 1
+    remat: bool = False
 
     def setup(self):
         self.conv_first = Conv(self.features)
         if self.scan_blocks:
+            body_cls = (nn.remat(_RRDBScanBody, prevent_cse=False)
+                        if self.remat else _RRDBScanBody)
             self.body = nn.scan(
-                _RRDBScanBody,
+                body_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.num_blocks,
+                unroll=self.scan_unroll,
             )(self.features, self.growth, self.fused_dense)
         else:
             self.body_blocks = [
