@@ -79,7 +79,10 @@ class VGG19Features(nn.Module):
 def _load_cached(tap: str, pre_activation: bool):
     model = VGG19Features(tap=tap, pre_activation=pre_activation)
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
-    params = model.init(jax.random.key(0), dummy)
+    # the cache may be filled from inside a jit trace (e.g. the GAN train
+    # step); force concrete param values so no tracer leaks into the cache
+    with jax.ensure_compile_time_eval():
+        params = model.init(jax.random.key(0), dummy)
     npz_path = os.environ.get("SRTPU_VGG19_NPZ", "")
     pretrained = False
     if npz_path and os.path.exists(npz_path):

@@ -107,3 +107,16 @@ def test_combined_loss_is_differentiable(rng):
     loss_fn = CombinedLoss(LossConfig(terms={"charbonnier": 1.0, "astro": 0.5}))
     g = jax.grad(lambda x: loss_fn(x, jnp.asarray(t))[0])(jnp.asarray(p))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_perceptual_loss_inside_jit(rng):
+    """The VGG param cache must not leak tracers when first populated
+    inside a jit trace (regression: GAN preset with perceptual term)."""
+    import superresolution_tpu.losses.perceptual as perc
+
+    perc._load_cached.cache_clear()
+    x = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32))
+    v1 = float(jax.jit(perceptual_loss)(x, y))
+    v2 = float(jax.jit(perceptual_loss)(x, y))  # cached params reused
+    assert np.isfinite(v1) and abs(v1 - v2) < 1e-6
