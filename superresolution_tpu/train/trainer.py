@@ -204,9 +204,11 @@ class Trainer:
 
     def evaluate(self) -> dict:
         m = Metrics()
-        for i, batch in enumerate(self.val_loader):
+        batches = prefetch_to_device(self.val_loader,
+                                     size=self.cfg.data.prefetch,
+                                     sharding=batch_sharding(self.mesh))
+        for i, batch in enumerate(batches):
             key = jax.random.fold_in(self._base_key, 2**30 + i)
-            batch = shard_batch(self.mesh, batch)
             out = self._eval_step(self.state, batch, key)
             _, hr = self.eval_input_fn(key, batch)
             m.update(out["pred"], hr)
