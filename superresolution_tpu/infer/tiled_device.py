@@ -64,7 +64,7 @@ def make_tiled_infer(fn, scale: int, tile: int, halo: int, batch: int,
 def make_tiled_infer_staged(trunk_fn, tail_fn, scale: int, tile, halo: int,
                             tail_batch: int, h: int, w: int, channels: int,
                             trunk_batch: int | None = None,
-                            split_stages: bool = False):
+                            split_stages: bool = False, mesh=None):
     """Two-stage tiled runner for trunk/tail-split SR models.
 
     The LR-resolution trunk is compute-bound: run it over the biggest tile
@@ -77,6 +77,12 @@ def make_tiled_infer_staged(trunk_fn, tail_fn, scale: int, tile, halo: int,
     grid divide non-square images with zero padding waste.
     With split_stages=True, returns (run_trunk, run_tail) as two separate
     jitted callables (for per-stage profiling) instead of one fused runner.
+
+    With `mesh` (a Mesh with a 'data' axis), the tile batch is sharded
+    across chips: each chip runs trunk+tail on its tile subset and the
+    reassembled image is gathered over ICI — multi-chip single-image
+    inference by tile parallelism (complements parallel/spatial.py's
+    halo-exchange row sharding).
     """
     th_t, tw_t = (tile, tile) if isinstance(tile, int) else tile
     ny, nx = -(-h // th_t), -(-w // tw_t)
@@ -86,8 +92,14 @@ def make_tiled_infer_staged(trunk_fn, tail_fn, scale: int, tile, halo: int,
     hs = halo * scale
 
     tb = tail_batch
-    n_pad_tail = (-n) % tb
-    kb = trunk_batch or n
+    if mesh is not None:
+        # pad the tile count so both the tail chunking and the data-axis
+        # sharding divide it evenly (each chip maps over local chunks)
+        mult = tb * mesh.shape["data"]
+        n_pad_tail = (-n) % mult
+    else:
+        n_pad_tail = (-n) % tb
+    kb = trunk_batch or (n + n_pad_tail if mesh is not None else n)
     n_pad_trunk = (-n) % kb
     coords = jnp.asarray([(iy * th_t, ix * tw_t)
                           for iy in range(ny) for ix in range(nx)]
@@ -103,18 +115,24 @@ def make_tiled_infer_staged(trunk_fn, tail_fn, scale: int, tile, halo: int,
             return jax.lax.dynamic_slice(
                 padded, (c[0], c[1], 0), (ti_h, ti_w, channels))
 
-        tiles = jax.vmap(gather_tile)(coords[: n + n_pad_trunk])
-        if kb >= n + n_pad_trunk:
+        n_run = n + max(n_pad_trunk, n_pad_tail if mesh is not None else 0)
+        tiles = jax.vmap(gather_tile)(coords[:n_run])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tiles = jax.lax.with_sharding_constraint(
+                tiles, NamedSharding(mesh, P("data")))
+        if kb >= n_run:
             feats = trunk_fn(tiles)
         else:
             feats = jax.lax.map(
                 trunk_fn, tiles.reshape(-1, kb, ti_h, ti_w, channels))
             feats = feats.reshape(-1, *feats.shape[2:])
-        return feats[:n]
+        return feats if mesh is not None else feats[:n]
 
     def run_tail(feats: jnp.ndarray) -> jnp.ndarray:
         cf = feats.shape[-1]
-        if n_pad_tail:
+        if mesh is None and n_pad_tail:
             feats = jnp.concatenate(
                 [feats, jnp.zeros((n_pad_tail, ti_h, ti_w, cf),
                                   feats.dtype)])
@@ -126,7 +144,13 @@ def make_tiled_infer_staged(trunk_fn, tail_fn, scale: int, tile, halo: int,
         grid = outs.reshape(ny, nx, ts_h, ts_w, c_out)
         full = grid.transpose(0, 2, 1, 3, 4).reshape(ny * ts_h, nx * ts_w,
                                                      c_out)
-        return full[: h * scale, : w * scale]
+        full = full[: h * scale, : w * scale]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            full = jax.lax.with_sharding_constraint(
+                full, NamedSharding(mesh, P()))
+        return full
 
     if split_stages:
         return jax.jit(run_trunk), jax.jit(run_tail)
