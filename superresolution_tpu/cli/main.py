@@ -146,11 +146,12 @@ def cmd_show_result(args):
 
 
 def cmd_presets(args):
+    from superresolution_tpu.models.factory import total_scale
     from superresolution_tpu.utils.config import presets
 
     for name, cfg in sorted(presets.items()):
-        print(f"{name:22s} model={cfg.model.name:9s} scale(total) "
-              f"loss={sorted(cfg.loss.terms)}")
+        print(f"{name:22s} model={cfg.model.name:9s} "
+              f"x{total_scale(cfg.model)} loss={sorted(cfg.loss.terms)}")
 
 
 def build_parser():
