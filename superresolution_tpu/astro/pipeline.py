@@ -213,12 +213,16 @@ def extract_patches(hubble_path: str, obs_paths: list[str], out_dir: str,
     lock = threading.Lock()
 
     def process(task):
+        # One pair is written for EVERY observatory frame that passes the
+        # coverage gate — the same HR window can yield several pairs
+        # (reference Dataset_step3_extractpatches.py:245-293, saved_count).
         y, x = task
         hr_patch = hubble[y:y + hr_size, x:x + hr_size]
         if (hr_patch > signal_floor).mean() < min_coverage:
-            return None
+            return 0
         patch_wcs = h_wcs.slice(y, x)
         lr_wcs = create_aligned_lr_wcs(patch_wcs, factor)
+        saved = 0
         for data, wcs in obs:
             lr_patch, foot = reproject_bilinear(data, wcs, lr_wcs,
                                                 (lr_size, lr_size))
@@ -238,8 +242,8 @@ def extract_patches(hubble_path: str, obs_paths: list[str], out_dir: str,
                 save_diagnostic_card(hr_patch, lr_patch, patch_wcs, lr_wcs,
                                      os.path.join(out_dir, "diagnostics",
                                                   f"pair_{idx:06d}.png"))
-            return idx
-        return None
+            saved += 1
+        return saved
 
     with cf.ThreadPoolExecutor(workers) as pool:
         list(pool.map(process, tasks))

@@ -116,15 +116,60 @@ def make_synthetic_image(index: int, size: int, channels: int = 1,
     return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
+def _gaussian_blur_2d(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur over (H, W, C), reflect-padded."""
+    radius = max(1, int(3.0 * sigma + 0.5))
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(xs * xs) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    for axis in (0, 1):
+        pad = [(0, 0)] * img.ndim
+        pad[axis] = (radius, radius)
+        p = np.pad(img, pad, mode="reflect")
+        out = np.zeros_like(img, np.float64)
+        for t, w in enumerate(k):
+            sl = [slice(None)] * img.ndim
+            sl[axis] = slice(t, t + img.shape[axis])
+            out += w * p[tuple(sl)]
+        img = out
+    return img
+
+
+def synthesize_observed_lr(hr: np.ndarray, scale: int,
+                           rng: np.random.Generator) -> np.ndarray:
+    """Co-registered 'telescope' LR from an HR image: PSF blur at roughly
+    the LR pixel scale, a sub-LR-pixel registration shift (the reprojection
+    analog — an integer HR-pixel shift < `scale` is a fractional LR-pixel
+    shift), box downsample, and faint read noise.
+
+    This is the paired-synthetic stand-in for the reference's real-LR
+    regime (reference Dataset_step3_extractpatches.py:245-263 reprojects
+    real observatory frames into the HR footprint; no degradation model
+    exists there), used when degradation='none' with no manifest.
+    """
+    img = hr.astype(np.float64)
+    img = _gaussian_blur_2d(img, sigma=rng.uniform(0.5, 0.9) * scale)
+    dy, dx = (int(rng.integers(0, scale)) for _ in range(2))
+    img = np.roll(img, (dy, dx), axis=(0, 1))
+    h, w, c = img.shape
+    lr = img.reshape(h // scale, scale, w // scale, scale, c).mean((1, 3))
+    lr += rng.normal(0.0, rng.uniform(0.5, 2.0) / 255.0, lr.shape)
+    return np.clip(lr, 0.0, 1.0).astype(np.float32)
+
+
 class SyntheticHRDataset:
-    """HR-only procedural dataset; LR comes from the degradation pipeline."""
+    """Procedural dataset; HR-only by default (LR comes from the on-device
+    degradation pipeline). With `lr_scale` set, also emits a co-registered
+    synthetic-telescope LR so degradation='none' presets run with zero
+    downloads."""
 
     def __init__(self, length: int, hr_size: int, channels: int = 1,
-                 seed: int = 0):
+                 seed: int = 0, lr_scale: int | None = None):
         self.length = length
         self.hr_size = hr_size
         self.channels = channels
         self.seed = seed
+        self.lr_scale = lr_scale
 
     def __len__(self) -> int:
         return self.length
@@ -132,4 +177,9 @@ class SyntheticHRDataset:
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
         hr = make_synthetic_image(i % self.length, self.hr_size,
                                   self.channels, self.seed)
-        return {"hr": hr}
+        if self.lr_scale is None:
+            return {"hr": hr}
+        rng = np.random.default_rng(
+            np.uint32(self.seed * 2_000_003 + i % self.length))
+        return {"hr": hr,
+                "lr": synthesize_observed_lr(hr, self.lr_scale, rng)}

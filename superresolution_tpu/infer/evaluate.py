@@ -30,11 +30,11 @@ def run_test(trainer, out_dir: str | None = None,
         key = jax.random.fold_in(trainer._base_key, 2**29 + i)
         out = trainer._eval_step(trainer.state,
                                  jax.tree.map(jax.numpy.asarray, batch), key)
-        lr, hr = trainer.eval_input_fn(key, jax.tree.map(
-            jax.numpy.asarray, batch))
         sr = np.asarray(out["pred"][0])
-        hr0 = np.asarray(hr[0])
-        m.update(out["pred"], hr)
+        hr0 = np.asarray(out["hr"][0])
+        lr = np.asarray(out["lr"])
+        m.update_sums(float(out["psnr_sum"]), float(out["ssim_sum"]),
+                      float(out["n"]))
         if save_outputs:
             if sr.shape[-1] == 1:
                 save_tiff16(sr, os.path.join(out_dir, f"result_{i:04d}.tiff"))

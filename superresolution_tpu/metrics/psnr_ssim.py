@@ -102,6 +102,13 @@ class Metrics:
                                            jnp.clip(target, 0, 1))) * n
         self._count += n
 
+    def update_sums(self, psnr_sum: float, ssim_sum: float, n: float) -> None:
+        """Accumulate pre-computed (masked) per-image sums — the path used
+        by jitted eval steps so only scalars cross the device boundary."""
+        self._psnr += psnr_sum
+        self._ssim += ssim_sum
+        self._count += n
+
     def compute(self) -> dict[str, float]:
         if not self._count:
             return {"psnr": 0.0, "ssim": 0.0}

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from superresolution_tpu.data.augment import paired_augment
-from superresolution_tpu.metrics.psnr_ssim import psnr, ssim_reference
+from superresolution_tpu.metrics.psnr_ssim import psnr, ssim
 from superresolution_tpu.ops.degradation import degradation_pipeline
 from superresolution_tpu.utils.config import DataConfig
 from superresolution_tpu.utils.precision import Policy
@@ -111,7 +111,15 @@ def optax_global_norm(tree) -> jnp.ndarray:
 
 def make_eval_step(model, policy: Policy, input_fn: Callable | None = None,
                    use_ema: bool = False) -> Callable:
-    """Returns eval_step(state, batch, key) -> metrics dict (fp32)."""
+    """Returns eval_step(state, batch, key) -> metrics dict (fp32).
+
+    Everything — degradation, forward, metric math — runs in ONE jit
+    region; callers accumulate the returned masked sums host-side. Batches
+    padded by the loader (pad_to_batch) carry a `_valid` mask; padded rows
+    contribute nothing, so metrics are exact over datasets whose length is
+    not a batch multiple. `lr`/`hr` (post input_fn) are returned so callers
+    never re-run the input stage host-side.
+    """
 
     def eval_step(state, batch, key):
         if input_fn is not None:
@@ -124,10 +132,23 @@ def make_eval_step(model, policy: Policy, input_fn: Callable | None = None,
         pred = model.apply(params_c, lr.astype(policy.compute_dtype))
         pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
         hrf = hr.astype(jnp.float32)
+        valid = batch.get("_valid")
+        valid = (jnp.ones(hrf.shape[0], jnp.float32) if valid is None
+                 else valid.astype(jnp.float32))
+        psnr_i = psnr(pred, hrf)                       # [B]
+        ssim_i = ssim(pred, jnp.clip(hrf, 0.0, 1.0))   # [B]
+        n = jnp.sum(valid)
         return {
-            "psnr": jnp.mean(psnr(pred, hrf)),
-            "ssim": ssim_reference(pred, hrf),
+            "psnr_sum": jnp.sum(psnr_i * valid),
+            "ssim_sum": jnp.sum(ssim_i * valid),
+            "n": n,
+            # batch means kept for direct callers (exact when unpadded:
+            # per-image SSIM means average to the reference's batch mean)
+            "psnr": jnp.sum(psnr_i * valid) / jnp.maximum(n, 1.0),
+            "ssim": jnp.sum(ssim_i * valid) / jnp.maximum(n, 1.0),
             "pred": pred,
+            "lr": lr,
+            "hr": hrf,
         }
 
     return eval_step

@@ -74,9 +74,12 @@ class Trainer:
         self.train_loader = Loader(self.train_ds, bs, shuffle=True,
                                    seed=config.train.seed,
                                    num_workers=dc.num_workers)
+        # drop_last=False + pad_to_batch: every val image enters PSNR/SSIM;
+        # padded rows are masked out via `_valid` inside the eval step
         val_bs = max(ndata, (min(bs, len(self.val_ds)) // ndata) * ndata)
         self.val_loader = Loader(self.val_ds, val_bs,
-                                 shuffle=False, num_workers=dc.num_workers)
+                                 shuffle=False, num_workers=dc.num_workers,
+                                 drop_last=False, pad_to_batch=True)
 
         # --- model/loss/opt ---
         output_size = dc.hr_patch if config.model.refiner else None
@@ -152,8 +155,14 @@ class Trainer:
                                 dc.base_path, lr_size=lr_size)
             return train, val
         n = dc.synthetic_len or 64
-        train = SyntheticHRDataset(n, dc.hr_patch, c, seed=1)
-        val = SyntheticHRDataset(max(4, n // 8), dc.hr_patch, c, seed=2)
+        # degradation='none' means "real LR" — with no manifest, emit a
+        # co-registered synthetic-telescope LR so the preset still runs
+        # (the reference's real-LR regime; data/dataset.py).
+        lr_scale = self.scale if dc.degradation == "none" else None
+        train = SyntheticHRDataset(n, dc.hr_patch, c, seed=1,
+                                   lr_scale=lr_scale)
+        val = SyntheticHRDataset(max(4, n // 8), dc.hr_patch, c, seed=2,
+                                 lr_scale=lr_scale)
         return train, val
 
     # ------------------------------------------------------------------
@@ -210,8 +219,9 @@ class Trainer:
         for i, batch in enumerate(batches):
             key = jax.random.fold_in(self._base_key, 2**30 + i)
             out = self._eval_step(self.state, batch, key)
-            _, hr = self.eval_input_fn(key, batch)
-            m.update(out["pred"], hr)
+            # only the masked scalar sums leave the device
+            m.update_sums(float(out["psnr_sum"]), float(out["ssim_sum"]),
+                          float(out["n"]))
         return m.compute()
 
     def _save_preview(self, epoch: int) -> None:
@@ -221,10 +231,9 @@ class Trainer:
         batch = jax.tree.map(lambda x: x[:1], batch)
         key = jax.random.fold_in(self._base_key, 2**31 - 1)
         out = self._eval_step(self.state, shard_batch(self.mesh, batch), key)
-        lr, hr = self.eval_input_fn(key, jax.tree.map(jnp.asarray, batch))
         sr = np.asarray(out["pred"][0])
-        hr0 = np.asarray(hr[0])
-        lr_up = np.asarray(resize_nearest(lr[0], hr0.shape[:2]))
+        hr0 = np.asarray(out["hr"][0])
+        lr_up = np.asarray(resize_nearest(out["lr"][0], hr0.shape[:2]))
         strip = np.concatenate([lr_up, sr, hr0], axis=1)
         path = os.path.join(self.workdir, "previews",
                             f"epoch_{epoch + 1:05d}.png")

@@ -173,3 +173,37 @@ def test_extract_and_normalize_end_to_end(tmp_path, rng):
     assert item["hr"].shape == (512, 512, 1)
     assert item["lr"].shape == (128, 128, 1)
     assert item["hr"].max() > 0.1  # normalization produced real signal
+
+
+def test_extract_patches_pair_per_passing_frame(tmp_path, rng):
+    """N overlapping observatory frames must yield N pairs per HR window
+    (reference Dataset_step3_extractpatches.py:245-293 saves a pair for
+    EVERY frame passing the coverage gate, not just the first)."""
+    master = (rng.random((200, 200)) * 0.5 + 0.5).astype(np.float64)
+    h_wcs = TanWCS(crval=(150.0, 2.0), crpix=(100.5, 100.5),
+                   cd=((-1.4e-5, 0.0), (0.0, 1.4e-5)))
+    hpath = str(tmp_path / "hubble_master.fits")
+    write_fits(hpath, master.astype(np.float32), h_wcs.to_header())
+    opaths = []
+    for k, shift in enumerate((0.0, 3.0)):  # two frames, slightly offset
+        o_wcs = TanWCS(crval=(150.0, 2.0),
+                       crpix=(40.5 + shift, 40.5 - shift),
+                       cd=((-5.6e-5, 0.0), (0.0, 5.6e-5)))
+        obs, _ = reproject_bilinear(master, h_wcs, o_wcs, (80, 80))
+        obs = np.nan_to_num(obs) + 0.01 * rng.random((80, 80))  # per-frame noise
+        opath = str(tmp_path / f"obs_{k}.fits")
+        write_fits(opath, obs.astype(np.float32), o_wcs.to_header())
+        opaths.append(opath)
+
+    pairs = str(tmp_path / "pairs")
+    n = extract_patches(hpath, opaths, pairs, hr_size=128, stride=200,
+                        factor=4, diag_first=0, workers=1)
+    assert n == 2  # one HR window, two passing frames -> two pairs
+    hr0, _ = read_fits(os.path.join(pairs, "pair_000000", "hubble.fits"))
+    hr1, _ = read_fits(os.path.join(pairs, "pair_000001", "hubble.fits"))
+    np.testing.assert_array_equal(hr0, hr1)  # same HR window both times
+    lr0, _ = read_fits(os.path.join(pairs, "pair_000000",
+                                    "observatory.fits"))
+    lr1, _ = read_fits(os.path.join(pairs, "pair_000001",
+                                    "observatory.fits"))
+    assert not np.array_equal(lr0, lr1)  # distinct observatory frames
