@@ -30,6 +30,8 @@ def _add_common(p):
 
 
 def _config_from_args(args):
+    import os
+
     from superresolution_tpu.utils.config import get_preset
 
     cfg = get_preset(args.preset)
@@ -37,12 +39,22 @@ def _config_from_args(args):
     train = cfg.train
     mesh = cfg.mesh
     if args.manifest_dir:
-        import os
         data = dataclasses.replace(
             data,
             train_manifest=os.path.join(args.manifest_dir, "train.json"),
             val_manifest=os.path.join(args.manifest_dir, "val.json"),
             test_manifest=os.path.join(args.manifest_dir, "test.json"))
+    elif args.data_root:
+        # scan pair_* dirs -> split manifests under the workdir -> train on
+        # the real pairs (the reference's Modello_2 -> Modello_3 journey)
+        from superresolution_tpu.data.manifest import prepare_splits
+
+        split_dir = os.path.join(
+            args.workdir or os.path.join("outputs", cfg.name), "splits")
+        paths = prepare_splits(args.data_root, split_dir, mode="split")
+        data = dataclasses.replace(
+            data, train_manifest=paths["train"], val_manifest=paths["val"],
+            test_manifest=paths["test"])
     if args.batch_size:
         data = dataclasses.replace(data, batch_size=args.batch_size)
     if args.epochs:
@@ -145,6 +157,63 @@ def cmd_show_result(args):
     print(f"collage -> {out}")
 
 
+def _glob_fits(d):
+    import glob
+    import os
+
+    return sorted(
+        f for pat in ("*.fits", "*.fit", "*.fts")
+        for f in glob.glob(os.path.join(d, pat))
+        if not os.path.basename(f).startswith("reg_"))
+
+
+def cmd_astro_register(args):
+    from superresolution_tpu.astro.pipeline import register_images
+
+    out = register_images(_glob_fits(args.hubble_dir),
+                          _glob_fits(args.obs_dir), args.out,
+                          workers=args.workers, fov_deg=args.fov)
+    print(json.dumps({k: len(v) for k, v in out.items()} | {"dir": args.out}))
+
+
+def cmd_astro_qc(args):
+    import glob
+    import os
+
+    from superresolution_tpu.astro.pipeline import qc_overlay
+
+    reg = sorted(glob.glob(os.path.join(args.registered_dir, "reg_*.fits")))
+    hub = [f for f in reg if args.hubble_tag in os.path.basename(f)]
+    obs = [f for f in reg if args.hubble_tag not in os.path.basename(f)]
+    out = qc_overlay(hub or reg, obs or reg, args.out, max_obs=args.max_obs)
+    print(f"QC overlay -> {out}")
+
+
+def cmd_astro_extract(args):
+    import glob
+    import os
+
+    from superresolution_tpu.astro.pipeline import extract_patches
+
+    # registered (reg_*) frames are valid inputs here; exclude the master
+    obs = sorted(
+        f for pat in ("*.fits", "*.fit", "*.fts")
+        for f in glob.glob(os.path.join(args.obs_dir, pat))
+        if os.path.abspath(f) != os.path.abspath(args.hubble))
+    n = extract_patches(args.hubble, obs, args.out,
+                        hr_size=args.hr_size, stride=args.stride,
+                        factor=args.factor, workers=args.workers)
+    print(json.dumps({"pairs": n, "dir": args.out}))
+
+
+def cmd_astro_normalize(args):
+    from superresolution_tpu.astro.pipeline import normalize_pairs
+
+    n = normalize_pairs(args.pairs, args.out, black_p=args.black_p,
+                        white_p=args.white_p)
+    print(json.dumps({"pairs": n, "dir": args.out}))
+
+
 def cmd_presets(args):
     from superresolution_tpu.models.factory import total_scale
     from superresolution_tpu.utils.config import presets
@@ -202,6 +271,46 @@ def build_parser():
     s.add_argument("--labels", default=None,
                    help="comma-separated panel labels")
     s.set_defaults(fn=cmd_show_result)
+
+    # the reference's 4 numbered ETL stages (Dataset_step1..4) as
+    # non-interactive subcommands
+    s = sub.add_parser("astro-register",
+                       help="step 1: plate-solve + register onto common TAN")
+    s.add_argument("--hubble-dir", required=True)
+    s.add_argument("--obs-dir", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--workers", type=int, default=2)
+    s.add_argument("--fov", type=float, default=None,
+                   help="blind-solve FOV override in degrees")
+    s.set_defaults(fn=cmd_astro_register)
+
+    s = sub.add_parser("astro-qc",
+                       help="step 2: green/magenta alignment overlay PNG")
+    s.add_argument("--registered-dir", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--hubble-tag", default="hst",
+                   help="substring marking Hubble frames among reg_*.fits")
+    s.add_argument("--max-obs", type=int, default=10)
+    s.set_defaults(fn=cmd_astro_qc)
+
+    s = sub.add_parser("astro-extract",
+                       help="step 3: WCS-aligned LR/HR patch pair extraction")
+    s.add_argument("--hubble", required=True, help="master Hubble FITS")
+    s.add_argument("--obs-dir", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--hr-size", type=int, default=512)
+    s.add_argument("--stride", type=int, default=75)
+    s.add_argument("--factor", type=int, default=4)
+    s.add_argument("--workers", type=int, default=4)
+    s.set_defaults(fn=cmd_astro_extract)
+
+    s = sub.add_parser("astro-normalize",
+                       help="step 4: global log-stretch -> 16-bit TIFF pairs")
+    s.add_argument("--pairs", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--black-p", type=float, default=3.0)
+    s.add_argument("--white-p", type=float, default=99.99)
+    s.set_defaults(fn=cmd_astro_normalize)
 
     s = sub.add_parser("presets")
     s.set_defaults(fn=cmd_presets)

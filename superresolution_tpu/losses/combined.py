@@ -40,16 +40,23 @@ class CombinedLoss:
                 v = l2_loss(pred, target)
             elif name == "charbonnier":
                 v = charbonnier_loss(pred, target, cfg.charbonnier_eps)
-            elif name == "star_l1":
-                v = star_weighted_l1(pred, target, cfg.star_threshold,
-                                     cfg.star_weight)
-            elif name == "star_l1_pallas":
-                from superresolution_tpu.ops.pallas_loss import (
-                    star_weighted_l1_pallas)
+            elif name in ("star_l1", "star_l1_pallas"):
+                # on TPU the fused Pallas kernel is the production path
+                # (one VMEM pass, no weight map materialized); the jnp form
+                # is the CPU/GPU fallback and the explicit 'star_l1' choice
+                # nowhere Pallas-capable
+                import jax
 
-                v = star_weighted_l1_pallas(pred, target,
-                                            cfg.star_threshold,
-                                            cfg.star_weight)
+                if name == "star_l1_pallas" or jax.default_backend() == "tpu":
+                    from superresolution_tpu.ops.pallas_loss import (
+                        star_weighted_l1_pallas)
+
+                    v = star_weighted_l1_pallas(pred, target,
+                                                cfg.star_threshold,
+                                                cfg.star_weight)
+                else:
+                    v = star_weighted_l1(pred, target, cfg.star_threshold,
+                                         cfg.star_weight)
             elif name == "astro":
                 v = astro_loss(pred, target, cfg.astro_weight_scale,
                                cfg.charbonnier_eps)

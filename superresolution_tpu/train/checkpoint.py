@@ -49,15 +49,26 @@ class CheckpointManager:
     def _step_dir(self, step: int) -> str:
         return os.path.join(self.dir, f"step_{step:010d}")
 
-    def save(self, state, step: int, psnr: float | None = None) -> bool:
-        """Save `state`; track best by PSNR. Returns True if new best
-        (the reference's best-PSNR checkpoint policy,
-        scripts/Modello_supporto.py:174-185)."""
+    def save(self, state, step: int, psnr: float | None = None,
+             block: bool = True) -> bool:
+        """Save `state`; track best by PSNR. Returns True if new best (the
+        reference's best-PSNR checkpoint policy,
+        scripts/Modello_supporto.py:174-185).
+
+        With block=False the save is ASYNC: the device->host snapshot
+        happens synchronously (safe with donated train-state buffers) and
+        the disk write overlaps the next epoch — the Trainer's hot-loop
+        mode. At most one save is in flight — a new save waits for the
+        previous one. Orbax commits atomically (tmp dir + rename), so a
+        crash mid-write leaves no partial step dir and `restore` falls
+        back to the newest committed step."""
+        self._ckptr.wait_until_finished()
         path = self._step_dir(step)
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(path, state)
-        self._ckptr.wait_until_finished()
+        if block:
+            self._ckptr.wait_until_finished()
         self.meta["last_step"] = step
         is_best = False
         if psnr is not None and psnr > self.meta.get("best_psnr", float("-inf")):
@@ -67,6 +78,10 @@ class CheckpointManager:
         self._save_meta()
         self._gc()
         return is_best
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed."""
+        self._ckptr.wait_until_finished()
 
     def _gc(self) -> None:
         steps = sorted(self.all_steps())
@@ -79,14 +94,21 @@ class CheckpointManager:
     def all_steps(self) -> list[int]:
         out = []
         for d in os.listdir(self.dir):
-            if d.startswith("step_"):
-                out.append(int(d.split("_")[1]))
+            # exact step_NNNN dirs only: orbax in-flight tmp dirs are named
+            # step_NNNN.orbax-checkpoint-tmp-* and must not be counted
+            if d.startswith("step_") and d[5:].isdigit():
+                out.append(int(d[5:]))
         return sorted(out)
 
     def restore(self, target, step: int | None = None):
         """Restore into the structure of `target` (a concrete state pytree).
-        step=None -> last."""
-        step = step if step is not None else self.meta.get("last_step")
+        step=None -> last committed (falls back past interrupted saves)."""
+        self._ckptr.wait_until_finished()
+        if step is None:
+            committed = self.all_steps()
+            last = self.meta.get("last_step")
+            step = (last if last in committed
+                    else (committed[-1] if committed else None))
         if step is None:
             return None
         path = self._step_dir(step)
@@ -103,6 +125,7 @@ class CheckpointManager:
     def finalize(self, out_dir: str, probe=None) -> str:
         """Promote best (fallback last) to `out_dir`/best, validating with
         `probe(state)` if given (reference scripts/Modello_4.py:22-49)."""
+        self._ckptr.wait_until_finished()
         step = self.meta.get("best_step") or self.meta.get("last_step")
         if step is None:
             raise FileNotFoundError("no checkpoints to finalize")

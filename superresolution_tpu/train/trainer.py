@@ -115,7 +115,9 @@ class Trainer:
                 self.model, self.disc, self.loss_fn, self.tx, self.d_tx,
                 self.policy, self.input_fn,
                 gan_weight=config.loss.terms.get("gan", 0.005),
-                ema_decay=config.train.ema_decay))
+                ema_decay=config.train.ema_decay,
+                gan_start_step=config.train.gan_start_step,
+                accum_steps=config.train.accum_steps))
         else:
             self._train_step = jax.jit(make_train_step(
                 self.model, self.loss_fn, self.tx, self.policy,
@@ -201,12 +203,14 @@ class Trainer:
             if (epoch + 1) % cfg.eval_every == 0 or epoch == epochs - 1:
                 val = self.evaluate()
                 self.logger.scalars(int(self.state.step), val, prefix="val/")
+                # async: the disk write overlaps the next training epoch
                 is_best = self.ckpt.save(self.state, int(self.state.step),
-                                         psnr=val["psnr"])
+                                         psnr=val["psnr"], block=False)
                 if is_best:
                     best = dict(val)
                 if (epoch + 1) % cfg.preview_every == 0:
                     self._save_preview(epoch)
+        self.ckpt.wait()  # commit any in-flight async save before returning
         return {"best": best, "epochs": epochs,
                 "wall_s": time.time() - t_start,
                 "final_step": int(self.state.step)}

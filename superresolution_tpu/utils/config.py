@@ -56,7 +56,6 @@ class DataConfig:
     jpeg_quality: tuple[int, int] = (60, 95)
     augment: bool = True
     batch_size: int = 16
-    shuffle_buffer: int = 2048
     prefetch: int = 2
     num_workers: int = 4
     # If set, generate a synthetic dataset of this many procedural images
@@ -97,7 +96,6 @@ class TrainConfig:
     accum_steps: int = 1  # micro-batch accumulation via lax.scan
     eval_every: int = 5  # epochs (reference LOG_INTERVAL)
     preview_every: int = 20  # epochs (reference IMAGE_INTERVAL)
-    checkpoint_dir: str = "outputs/checkpoints"
     keep_checkpoints: int = 3
     resume: bool = True
     seed: int = 42
@@ -217,7 +215,10 @@ def _preset_esrgan_gan() -> Config:
         loss=LossConfig(
             terms={"l1": 0.01, "perceptual": 1.0, "gan": 0.005},
         ),
-        train=TrainConfig(epochs=200, lr=1e-4, disc_lr=1e-4),
+        # pixel-only warmup then adversarial (the ESRGAN two-phase
+        # schedule; the reference pretrains a PSNR model separately)
+        train=TrainConfig(epochs=200, lr=1e-4, disc_lr=1e-4,
+                          gan_start_step=1000),
     )
 
 

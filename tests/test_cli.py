@@ -47,3 +47,56 @@ def test_train_cli_tiny(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     result = json.loads(out)
     assert result["epochs"] == 1
+
+
+def test_astro_pipeline_cli_end_to_end(tmp_path, capsys, rng):
+    """The reference's Dataset_step1..4 user journey through the CLI:
+    register (pre-solved WCS pass-through) -> qc -> extract -> normalize ->
+    prepare-data -> --data-root training picks up the manifests."""
+    from superresolution_tpu.astro import (TanWCS, reproject_bilinear,
+                                           write_fits)
+
+    master = (rng.random((300, 300)) * 0.5 + 0.5).astype(np.float32)
+    h_wcs = TanWCS(crval=(150.0, 2.0), crpix=(150.5, 150.5),
+                   cd=((-1.4e-5, 0.0), (0.0, 1.4e-5)))
+    raw = tmp_path / "raw"
+    os.makedirs(raw / "hubble")
+    os.makedirs(raw / "obs")
+    write_fits(str(raw / "hubble" / "hst_m1.fits"), master,
+               h_wcs.to_header())
+    o_wcs = TanWCS(crval=(150.0, 2.0), crpix=(60.5, 60.5),
+                   cd=((-5.6e-5, 0.0), (0.0, 5.6e-5)))
+    obs, _ = reproject_bilinear(master.astype(np.float64), h_wcs, o_wcs,
+                                (120, 120))
+    write_fits(str(raw / "obs" / "ground_1.fits"),
+               np.nan_to_num(obs).astype(np.float32), o_wcs.to_header())
+
+    reg = str(tmp_path / "registered")
+    main(["astro-register", "--hubble-dir", str(raw / "hubble"),
+          "--obs-dir", str(raw / "obs"), "--out", reg, "--workers", "1"])
+    assert json.loads(capsys.readouterr().out)["hubble"] == 1
+
+    main(["astro-qc", "--registered-dir", reg,
+          "--out", str(tmp_path / "qc.png")])
+    capsys.readouterr()
+    assert os.path.exists(tmp_path / "qc.png")
+
+    pairs = str(tmp_path / "pairs")
+    main(["astro-extract", "--hubble", os.path.join(reg, "reg_hst_m1.fits"),
+          "--obs-dir", reg, "--out", pairs, "--hr-size", "128",
+          "--stride", "150", "--factor", "4", "--workers", "1"])
+    n = json.loads(capsys.readouterr().out)["pairs"]
+    assert n >= 2
+
+    tiffs = str(tmp_path / "tiffs")
+    main(["astro-normalize", "--pairs", pairs, "--out", tiffs])
+    assert json.loads(capsys.readouterr().out)["pairs"] == n
+
+    # --data-root: scan -> manifests -> train on the real pairs
+    main(["train", "--preset", "espcn_x4",
+          "--workdir", str(tmp_path / "run"), "--epochs", "1",
+          "--data-root", tiffs, "--mesh-data", "1"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(out)
+    assert result["final_step"] >= 1
+    assert os.path.exists(tmp_path / "run" / "splits" / "train.json")

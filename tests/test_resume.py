@@ -61,3 +61,42 @@ def test_resume_false_starts_fresh(tmp_path):
     tr2 = Trainer(_cfg(epochs=1, resume=False), workdir=wd)
     assert tr2.start_epoch == 0
     assert int(tr2.state.step) == 0
+
+
+def test_restore_falls_back_past_interrupted_save(tmp_path, rng):
+    """A crash mid-async-save leaves an orbax tmp dir and a meta.json whose
+    last_step never committed; restore must fall back to the newest
+    COMMITTED step instead of returning None/failing."""
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_tpu.models import ESPCN
+    from superresolution_tpu.train.checkpoint import CheckpointManager
+    from superresolution_tpu.train.state import (create_train_state,
+                                                 make_optimizer)
+
+    def _tiny_state():
+        model = ESPCN(scale=2, in_channels=1, out_channels=1, f1=8, f2=8)
+        tx, _ = make_optimizer(TrainConfig(lr=1e-3), 10)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 1)))
+        return create_train_state(params, tx)
+
+    state = _tiny_state()
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=3)
+    mgr.save(state, 1, psnr=10.0, block=True)
+
+    # simulate the interrupted step-2 save: uncommitted tmp dir + meta
+    os.makedirs(tmp_path / "ck" / "step_0000000002.orbax-checkpoint-tmp-9")
+    meta_path = tmp_path / "ck" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["last_step"] = 2
+    meta_path.write_text(json.dumps(meta))
+
+    fresh = CheckpointManager(str(tmp_path / "ck"), keep=3)
+    assert fresh.all_steps() == [1]  # tmp dir not counted
+    restored = fresh.restore(_tiny_state())
+    assert restored is not None
+    assert int(restored.step) == int(state.step)

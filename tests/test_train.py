@@ -132,7 +132,7 @@ def test_single_pair_overfit_convergence():
         loss=LossConfig(terms={"l1": 1.0}),
         train=TrainConfig(epochs=60, lr=2e-3, eval_every=30,
                           preview_every=1000, precision="fp32",
-                          checkpoint_dir="", resume=False),
+                          resume=False),
         mesh=_MESH1,
     )
     import tempfile
@@ -250,3 +250,47 @@ def test_eval_exact_when_val_not_batch_multiple(rng):
         results[bs] = m.compute()
     assert results[1]["psnr"] == pytest.approx(results[4]["psnr"], rel=1e-5)
     assert results[1]["ssim"] == pytest.approx(results[4]["ssim"], rel=1e-5)
+
+
+def test_gan_warmup_and_accum(rng):
+    """Before gan_start_step the discriminator must hold at init and the
+    generator trains pixel-only; after it, the adversarial phase engages.
+    accum_steps>1 exercises the scanned micro-batch path."""
+    from superresolution_tpu.models.discriminator import VGGStyleDiscriminator
+    from superresolution_tpu.train.gan import make_gan_steps
+
+    model = ESPCN(scale=2, in_channels=1, out_channels=1, f1=8, f2=8)
+    disc = VGGStyleDiscriminator(in_channels=1, input_size=32)
+    tcfg = TrainConfig(lr=1e-3, precision="fp32")
+    g_tx, _ = make_optimizer(tcfg, 100)
+    d_tx, _ = make_optimizer(tcfg, 100)
+    g_params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)))
+    d_params = disc.init(jax.random.key(1), jnp.zeros((1, 32, 32, 1)))
+    g_state = create_train_state(g_params, g_tx)
+    d_state = create_train_state(d_params, d_tx)
+    input_fn = make_device_input(
+        DataConfig(degradation="bicubic", augment=False), scale=2)
+    loss_fn = CombinedLoss(LossConfig(terms={"l1": 1.0}))
+    step = jax.jit(make_gan_steps(
+        model, disc, loss_fn, g_tx, d_tx, get_policy("fp32"), input_fn,
+        gan_weight=0.01, gan_start_step=2, accum_steps=2))
+
+    batch = {"hr": jnp.asarray(rng.random((4, 32, 32, 1), dtype=np.float32))}
+    d0 = jax.tree.leaves(d_state.params)
+
+    # steps 0 and 1: warmup — D frozen, adv off
+    for i in range(2):
+        g_state, d_state, logs = step(g_state, d_state, batch,
+                                      jax.random.key(i))
+        assert float(logs["adv_on"]) == 0.0
+    for a, b in zip(d0, jax.tree.leaves(d_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # step 2: adversarial phase — D moves
+    g_state, d_state, logs = step(g_state, d_state, batch, jax.random.key(9))
+    assert float(logs["adv_on"]) == 1.0
+    assert np.isfinite(float(logs["g_total"]))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(d0, jax.tree.leaves(d_state.params)))
+    assert moved
