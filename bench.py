@@ -46,10 +46,13 @@ def main() -> None:
                     num_blocks=23, growth=32, upsampler="pixelshuffle")
     policy = get_policy("bf16")
     # tile geometry tuned for v5e: rectangular 360x384 tiles divide
-    # 1920x1080 in a 3x5 grid with ZERO padding waste (halo overlap 1.18x);
-    # the trunk runs all 15 tiles in one batch (42 TF/s plateau), the
-    # x4-resolution tail maps in chunks of 5 to bound the HR temps
-    tile, halo, batch = (360, 384), 16, 5
+    # 1920x1080 in a 3x5 grid with ZERO padding waste; the trunk runs all
+    # 15 tiles in one batch (the 42 TF/s plateau — benchmarks/exp_r2_*),
+    # the x4-resolution tail maps in chunks of 5 to bound the HR temps.
+    # halo 8: BasicSR's own ESRGAN tiler uses tile_pad=10, and measured
+    # seam error at halo 8 vs 48 is within bf16 noise (exp_r2 seam sweep);
+    # halo overlap overhead drops 1.18x -> 1.088x.
+    tile, halo, batch = (360, 384), 8, 5
     h, w = 1080, 1920  # 2K-resolution input
 
     # init under jit: eager per-op dispatch through the TPU tunnel is slow
@@ -60,9 +63,14 @@ def main() -> None:
         return model.apply(params, x.astype(policy.compute_dtype),
                            method="trunk")
 
-    def tail_fn(feat):
-        # output stays bf16 on device (quantized to uint16 at write-out)
-        return jnp.clip(model.apply(params, feat, method="tail"), 0.0, 1.0)
+    # deploy-time folded tail: the two depth_to_space layout copies
+    # collapse into one final interleave and the stage-2 conv runs at LR
+    # resolution in the K=1024 MXU regime (infer/folded_tail.py; exact on
+    # the same weights). Output stays bf16 on device (quantized to uint16
+    # at write-out).
+    from superresolution_tpu.infer.folded_tail import make_folded_tail
+
+    tail_fn = make_folded_tail(params)
 
     # Fully on-device two-stage tiled inference: the compute-bound trunk
     # runs over ALL tiles in one batch (best MXU utilization), the
@@ -90,11 +98,19 @@ def main() -> None:
 
     mp = h * w / 1e6
     value = mp / dt  # single chip
+    # model cost: ~35.8 TFLOPs per input MP (BENCHMARKS.md derivation);
+    # MFU is reported against BOTH the chip's nominal 197 bf16 TF/s and
+    # the measured ~42 TF/s XLA rate for this conv mix (benchmarks/
+    # exp_r2_trunk.py) — the honest end-to-end efficiency picture.
+    tflops_per_mp = 35.8
     print(json.dumps({
         "metric": "input megapixels/sec/chip, ESRGAN RRDB x4 tiled 2K inference",
         "value": round(value, 4),
         "unit": "MP/s/chip",
         "vs_baseline": round(value / REF_GPU_MPS_X4, 3),
+        "mfu_vs_nominal_197tf": round(value * tflops_per_mp / 197.0, 3),
+        "mfu_vs_measured_conv_envelope_42tf": round(
+            value * tflops_per_mp / 42.4, 3),
     }))
 
 

@@ -139,3 +139,271 @@ def export_rrdbnet_numpy(params: dict, *, num_blocks: int = 23,
                 put(f"body.{i}.rdb{k + 1}.conv{j + 1}",
                     db[f"Conv_{j}"]["Conv_0"])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# Reference hybrid (stage1 RRDBNet + stage2 HAT) checkpoint interop
+# ---------------------------------------------------------------------------
+#
+# A reference-trained hybrid `best.pth` carries `stage1.*` keys in the
+# BasicSR RRDBNet convention (scale-2 variant: pixel-unshuffled input,
+# conv_first sees in*4 channels) and `stage2.*` keys in the HAT convention
+# (reference scripts/Modello_4.py:45-49 probes stage1.conv_first.weight;
+# src/architecture.py:30-82 builds the two stages). These functions map
+# that layout onto HybridSR(RRDBNet(pixel_unshuffle_input=2),
+# HATLite(hat_compat=True)).
+
+
+def _lin(sd, name):
+    """torch Linear -> flax Dense kernel/bias."""
+    out = {"kernel": np.asarray(sd[f"{name}.weight"]).T}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def _ln(sd, name):
+    return {"scale": np.asarray(sd[f"{name}.weight"]),
+            "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def _conv(sd, name):
+    return {"Conv_0": {
+        "kernel": _oihw_to_hwio(np.asarray(sd[f"{name}.weight"])),
+        "bias": np.asarray(sd[f"{name}.bias"])}}
+
+
+def _hab_block(sd, pre):
+    """One HAT HAB block -> our HABlock param subtree."""
+    qkv = _lin(sd, f"{pre}.attn.qkv")
+    se1 = np.asarray(sd[f"{pre}.conv_block.cab.3.attention.1.weight"])
+    se2 = np.asarray(sd[f"{pre}.conv_block.cab.3.attention.3.weight"])
+    return {
+        "LayerNorm_0": _ln(sd, f"{pre}.norm1"),
+        "ChannelAttentionBlock_0": {
+            "Conv_0": _conv(sd, f"{pre}.conv_block.cab.0"),
+            "Conv_1": _conv(sd, f"{pre}.conv_block.cab.2"),
+            # 1x1 SE convs [out,in,1,1] <-> Dense [in,out]
+            "Dense_0": {"kernel": se1[:, :, 0, 0].T,
+                        "bias": np.asarray(
+                            sd[f"{pre}.conv_block.cab.3.attention.1.bias"])},
+            "Dense_1": {"kernel": se2[:, :, 0, 0].T,
+                        "bias": np.asarray(
+                            sd[f"{pre}.conv_block.cab.3.attention.3.bias"])},
+        },
+        "WindowAttention_0": {
+            "Dense_0": qkv,
+            "Dense_1": _lin(sd, f"{pre}.attn.proj"),
+            "rel_pos_bias": np.asarray(
+                sd[f"{pre}.attn.relative_position_bias_table"]),
+        },
+        "LayerNorm_1": _ln(sd, f"{pre}.norm2"),
+        "Dense_0": _lin(sd, f"{pre}.mlp.fc1"),
+        "Dense_1": _lin(sd, f"{pre}.mlp.fc2"),
+    }
+
+
+def _ocab(sd, pre, dim):
+    """HAT OCAB (packed qkv) -> our OverlappingCrossAttention subtree."""
+    wq = np.asarray(sd[f"{pre}.qkv.weight"])  # [3C, C]
+    bq = np.asarray(sd[f"{pre}.qkv.bias"])
+    return {
+        "LayerNorm_0": _ln(sd, f"{pre}.norm1"),
+        "Dense_0": {"kernel": wq[dim:].T, "bias": bq[dim:]},  # kv
+        "Dense_1": {"kernel": wq[:dim].T, "bias": bq[:dim]},  # q
+        "rel_pos_bias_oca": np.asarray(
+            sd[f"{pre}.relative_position_bias_table"]),
+        "Dense_2": _lin(sd, f"{pre}.proj"),
+        "LayerNorm_1": _ln(sd, f"{pre}.norm2"),
+        "Dense_3": _lin(sd, f"{pre}.mlp.fc1"),
+        "Dense_4": _lin(sd, f"{pre}.mlp.fc2"),
+    }
+
+
+def import_hat_numpy(sd: dict[str, np.ndarray], *, embed_dim: int = 96,
+                     depths=(6, 6, 6, 6), prefix: str = "") -> dict:
+    """HAT-convention numpy state dict -> params for
+    HATLite(hat_compat=True, scan_blocks=True)."""
+    p = prefix
+    groups = []
+    for g in range(len(depths)):
+        pairs = [
+            {"HABlock_0": _hab_block(sd, f"{p}layers.{g}.residual_group"
+                                         f".blocks.{2 * i}"),
+             "HABlock_1": _hab_block(sd, f"{p}layers.{g}.residual_group"
+                                         f".blocks.{2 * i + 1}")}
+            for i in range(depths[g] // 2)]
+        groups.append({
+            "hab_pairs": _stack_trees(pairs),
+            "OverlappingCrossAttention_0": _ocab(
+                sd, f"{p}layers.{g}.overlap_attn", embed_dim),
+            "Conv_0": _conv(sd, f"{p}layers.{g}.conv"),
+        })
+    params = {
+        "Conv_0": _conv(sd, f"{p}conv_first"),
+        "norm_embed": _ln(sd, f"{p}patch_embed.norm"),
+        "groups": {"ResidualGroup_0": _stack_trees(groups)},
+        "norm_body": _ln(sd, f"{p}norm"),
+        "Conv_1": _conv(sd, f"{p}conv_after_body"),
+        "conv_before_upsample": _conv(sd, f"{p}conv_before_upsample.0"),
+        "PixelShuffleUpsampler_0": {
+            "Conv_0": _conv(sd, f"{p}upsample.0")},
+        "Conv_2": _conv(sd, f"{p}conv_last"),
+    }
+    return params
+
+
+def import_hybrid_numpy(sd: dict[str, np.ndarray], *, num_blocks: int = 23,
+                        features: int = 64, growth: int = 32,
+                        embed_dim: int = 96, depths=(6, 6, 6, 6),
+                        scan_blocks: bool = True,
+                        fused_dense: bool = True) -> dict:
+    """Reference-hybrid state dict (stage1.* BasicSR RRDBNet scale-2 +
+    stage2.* HAT) -> {'params': {'stage1': ..., 'stage2': ...}} for
+    HybridSR(RRDBNet(..., pixel_unshuffle_input=2, upsampler=
+    'nearest_conv'), HATLite(..., hat_compat=True))."""
+    s1 = {k[len("stage1."):]: v for k, v in sd.items()
+          if k.startswith("stage1.")}
+    stage1 = import_rrdbnet_numpy(
+        s1, num_blocks=num_blocks, features=features, growth=growth,
+        scan_blocks=scan_blocks, fused_dense=fused_dense)["params"]
+    stage2 = import_hat_numpy(sd, embed_dim=embed_dim, depths=depths,
+                              prefix="stage2.")
+    return {"params": {"stage1": stage1, "stage2": stage2}}
+
+
+# --- inverses: our params -> reference-layout numpy state dicts -----------
+
+
+def _unstack_trees(tree, n: int) -> list[dict]:
+    """Inverse of _stack_trees: split the leading axis into n pytrees."""
+    if isinstance(tree, dict):
+        subs = {k: _unstack_trees(v, n) for k, v in tree.items()}
+        return [{k: subs[k][i] for k in tree} for i in range(n)]
+    return [np.asarray(tree)[i] for i in range(n)]
+
+
+def _unfuse_dense(fd: dict, c: int, g: int):
+    """Inverse of _fuse_dense: fused wide-conv params -> the 5 plain
+    dense-block conv (kernel HWIO, bias) pairs."""
+    px = np.asarray(fd["Conv_0"]["Conv_0"]["kernel"])
+    pb = np.asarray(fd["Conv_0"]["Conv_0"]["bias"])
+    p1 = np.asarray(fd["proj_y1"]["kernel"])
+    p2 = np.asarray(fd["proj_y2"]["kernel"])
+    p3 = np.asarray(fd["proj_y3"]["kernel"])
+    p4 = np.asarray(fd["proj_y4"]["kernel"])
+
+    def seg(k, i, width):
+        # lane segment of source-conv k corresponding to output step i,
+        # where k's lanes are ordered [later steps ..., final C]
+        return k[..., i:i + width]
+
+    ks = [
+        px[..., 0:g],
+        np.concatenate([px[..., g:2 * g], p1[..., 0:g]], axis=2),
+        np.concatenate([px[..., 2 * g:3 * g], p1[..., g:2 * g],
+                        p2[..., 0:g]], axis=2),
+        np.concatenate([px[..., 3 * g:4 * g], p1[..., 2 * g:3 * g],
+                        p2[..., g:2 * g], p3[..., 0:g]], axis=2),
+        np.concatenate([px[..., 4 * g:], p1[..., 3 * g:], p2[..., 2 * g:],
+                        p3[..., g:], p4], axis=2),
+    ]
+    bs = [pb[0:g], pb[g:2 * g], pb[2 * g:3 * g], pb[3 * g:4 * g], pb[4 * g:]]
+    return ks, bs
+
+
+def export_hybrid_numpy(params: dict, *, num_blocks: int = 23,
+                        features: int = 64, growth: int = 32,
+                        embed_dim: int = 96,
+                        depths=(6, 6, 6, 6)) -> dict[str, np.ndarray]:
+    """Inverse of import_hybrid_numpy (scan-stacked, fused-dense params ->
+    reference stage1./stage2. state dict). Bit-exact round-trip: every
+    mapping is a transpose/concat/split."""
+    p = params["params"] if "params" in params else params
+    sd: dict[str, np.ndarray] = {}
+    c, g = features, growth
+
+    def put_conv(name, node):
+        sd[f"{name}.weight"] = _hwio_to_oihw(np.asarray(node["Conv_0"]["kernel"]))
+        sd[f"{name}.bias"] = np.asarray(node["Conv_0"]["bias"])
+
+    def put_lin(name, node):
+        sd[f"{name}.weight"] = np.asarray(node["kernel"]).T
+        if "bias" in node:
+            sd[f"{name}.bias"] = np.asarray(node["bias"])
+
+    def put_ln(name, node):
+        sd[f"{name}.weight"] = np.asarray(node["scale"])
+        sd[f"{name}.bias"] = np.asarray(node["bias"])
+
+    # ---- stage1 (BasicSR RRDBNet layout) ----
+    s1 = p["stage1"]
+    put_conv("stage1.conv_first", s1["conv_first"])
+    put_conv("stage1.conv_body", s1["trunk_conv"])
+    put_conv("stage1.conv_up1", s1["up"]["Conv_0"])
+    put_conv("stage1.conv_up2", s1["up"]["Conv_1"])
+    put_conv("stage1.conv_hr", s1["conv_hr"])
+    put_conv("stage1.conv_last", s1["conv_last"])
+    blocks = _unstack_trees(s1["body"]["RRDB_0"], num_blocks)
+    for i, blk in enumerate(blocks):
+        for k in range(3):
+            ks, bs = _unfuse_dense(blk[f"FusedDenseBlock_{k}"], c, g)
+            for j in range(5):
+                sd[f"stage1.body.{i}.rdb{k + 1}.conv{j + 1}.weight"] = \
+                    _hwio_to_oihw(ks[j])
+                sd[f"stage1.body.{i}.rdb{k + 1}.conv{j + 1}.bias"] = bs[j]
+
+    # ---- stage2 (HAT layout) ----
+    s2 = p["stage2"]
+    put_conv("stage2.conv_first", s2["Conv_0"])
+    put_ln("stage2.patch_embed.norm", s2["norm_embed"])
+    put_ln("stage2.norm", s2["norm_body"])
+    put_conv("stage2.conv_after_body", s2["Conv_1"])
+    put_conv("stage2.conv_before_upsample.0", s2["conv_before_upsample"])
+    put_conv("stage2.upsample.0", s2["PixelShuffleUpsampler_0"]["Conv_0"])
+    put_conv("stage2.conv_last", s2["Conv_2"])
+    groups = _unstack_trees(s2["groups"]["ResidualGroup_0"], len(depths))
+    for gi, grp in enumerate(groups):
+        pairs = _unstack_trees(grp["hab_pairs"], depths[gi] // 2)
+        for pi, pair in enumerate(pairs):
+            for half in (0, 1):
+                b = 2 * pi + half
+                hb = pair[f"HABlock_{half}"]
+                pre = f"stage2.layers.{gi}.residual_group.blocks.{b}"
+                put_ln(f"{pre}.norm1", hb["LayerNorm_0"])
+                put_ln(f"{pre}.norm2", hb["LayerNorm_1"])
+                wa = hb["WindowAttention_0"]
+                put_lin(f"{pre}.attn.qkv", wa["Dense_0"])
+                put_lin(f"{pre}.attn.proj", wa["Dense_1"])
+                sd[f"{pre}.attn.relative_position_bias_table"] = \
+                    np.asarray(wa["rel_pos_bias"])
+                cab = hb["ChannelAttentionBlock_0"]
+                put_conv(f"{pre}.conv_block.cab.0", cab["Conv_0"])
+                put_conv(f"{pre}.conv_block.cab.2", cab["Conv_1"])
+                sd[f"{pre}.conv_block.cab.3.attention.1.weight"] = \
+                    np.asarray(cab["Dense_0"]["kernel"]).T[:, :, None, None]
+                sd[f"{pre}.conv_block.cab.3.attention.1.bias"] = \
+                    np.asarray(cab["Dense_0"]["bias"])
+                sd[f"{pre}.conv_block.cab.3.attention.3.weight"] = \
+                    np.asarray(cab["Dense_1"]["kernel"]).T[:, :, None, None]
+                sd[f"{pre}.conv_block.cab.3.attention.3.bias"] = \
+                    np.asarray(cab["Dense_1"]["bias"])
+                put_lin(f"{pre}.mlp.fc1", hb["Dense_0"])
+                put_lin(f"{pre}.mlp.fc2", hb["Dense_1"])
+        oc = grp["OverlappingCrossAttention_0"]
+        pre = f"stage2.layers.{gi}.overlap_attn"
+        put_ln(f"{pre}.norm1", oc["LayerNorm_0"])
+        put_ln(f"{pre}.norm2", oc["LayerNorm_1"])
+        sd[f"{pre}.qkv.weight"] = np.concatenate(
+            [np.asarray(oc["Dense_1"]["kernel"]).T,
+             np.asarray(oc["Dense_0"]["kernel"]).T], axis=0)
+        sd[f"{pre}.qkv.bias"] = np.concatenate(
+            [np.asarray(oc["Dense_1"]["bias"]),
+             np.asarray(oc["Dense_0"]["bias"])])
+        sd[f"{pre}.relative_position_bias_table"] = \
+            np.asarray(oc["rel_pos_bias_oca"])
+        put_lin(f"{pre}.proj", oc["Dense_2"])
+        put_lin(f"{pre}.mlp.fc1", oc["Dense_3"])
+        put_lin(f"{pre}.mlp.fc2", oc["Dense_4"])
+        put_conv(f"stage2.layers.{gi}.conv", grp["Conv_0"])
+    return sd

@@ -62,6 +62,20 @@ def _relative_position_index(ws: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _relative_position_index_oca(ws: int, wse: int) -> np.ndarray:
+    """Relative-position index between a ws-window (queries) and the
+    enlarged wse-window (keys) for overlapping cross-attention — the HAT
+    rpi_oca construction. Table size (ws + wse - 1)^2."""
+    def grid(n):
+        c = np.stack(np.meshgrid(np.arange(n), np.arange(n), indexing="ij"))
+        return c.reshape(2, -1)
+
+    rel = grid(wse)[:, None, :] - grid(ws)[:, :, None]  # [2, ws^2, wse^2]
+    rel = rel.transpose(1, 2, 0) + (ws - 1)  # per-axis range [0, ws+wse-2]
+    return (rel[..., 0] * (ws + wse - 1) + rel[..., 1]).astype(np.int32)
+
+
+@lru_cache(maxsize=None)
 def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     """Swin shifted-window attention mask: [nWindows, n, n] of 0 / -inf."""
     img = np.zeros((h, w), dtype=np.int32)
@@ -121,7 +135,7 @@ class ChannelAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = Conv(self.dim // self.compress_ratio)(x)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = Conv(self.dim)(y)
         # channel attention
         s = jnp.mean(y, axis=(1, 2), keepdims=True)
@@ -146,7 +160,7 @@ class HABlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         ws = self.window_size
-        y = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, param_dtype=jnp.float32)(x)
         cab = ChannelAttentionBlock(c)(y)
         if self.shift:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
@@ -159,10 +173,10 @@ class HABlock(nn.Module):
         if self.shift:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         x = x + y + jnp.asarray(self.conv_scale, x.dtype) * cab
-        z = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, param_dtype=jnp.float32)(x)
         z = nn.Dense(int(c * self.mlp_ratio), dtype=x.dtype,
                      param_dtype=jnp.float32)(z)
-        z = nn.gelu(z)
+        z = nn.gelu(z, approximate=False)
         z = nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(z)
         return x + z
 
@@ -175,6 +189,9 @@ class OverlappingCrossAttention(nn.Module):
     num_heads: int
     window_size: int
     overlap_ratio: float = 0.5
+    # HAT-checkpoint compatibility: learned relative-position bias between
+    # the query window and the enlarged key/value window
+    use_rpb: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -182,7 +199,7 @@ class OverlappingCrossAttention(nn.Module):
         ws = self.window_size
         ows = int(ws * (1 + self.overlap_ratio))
         pad = (ows - ws) // 2
-        y = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, param_dtype=jnp.float32)(x)
         q = window_partition(y, ws)  # [nB, ws*ws, C]
         kv = nn.Dense(2 * c, dtype=x.dtype, param_dtype=jnp.float32)(y)
         kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
@@ -207,15 +224,24 @@ class OverlappingCrossAttention(nn.Module):
         scale = jnp.asarray(hd, jnp.float32) ** -0.5
         attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
                           preferred_element_type=jnp.float32) * scale
+        if self.use_rpb:
+            table = self.param(
+                "rel_pos_bias_oca",
+                nn.initializers.truncated_normal(0.02),
+                ((ws + ows - 1) ** 2, nh), jnp.float32)
+            idx = jnp.asarray(_relative_position_index_oca(ws, ows))
+            bias = table[idx.reshape(-1)].reshape(
+                ws * ws, ows * ows, nh).transpose(2, 0, 1)
+            attn = attn + bias[None]
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
         out = nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(out)
         y = window_merge(out, ws, (h, w))
         x = x + y
-        z = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, param_dtype=jnp.float32)(x)
         z = nn.Dense(int(c * 2), dtype=x.dtype, param_dtype=jnp.float32)(z)
-        z = nn.gelu(z)
+        z = nn.gelu(z, approximate=False)
         z = nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(z)
         return x + z
 
@@ -247,6 +273,7 @@ class ResidualGroup(nn.Module):
     conv_scale: float = 0.01
     overlap_ratio: float = 0.5
     scan_blocks: bool = True
+    oca_rpb: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -269,7 +296,8 @@ class ResidualGroup(nn.Module):
             y = HABlock(self.dim, self.num_heads, self.window_size, shift,
                         self.mlp_ratio, self.conv_scale)(y)
         y = OverlappingCrossAttention(self.dim, self.num_heads,
-                                      self.window_size, self.overlap_ratio)(y)
+                                      self.window_size, self.overlap_ratio,
+                                      use_rpb=self.oca_rpb)(y)
         return x + Conv(self.dim)(y)
 
 
@@ -282,13 +310,14 @@ class _GroupScanBody(nn.Module):
     conv_scale: float
     overlap_ratio: float
     scan_blocks: bool
+    oca_rpb: bool = False
 
     @nn.compact
     def __call__(self, x, _):
         return ResidualGroup(self.dim, self.depth, self.num_heads,
                              self.window_size, self.mlp_ratio,
                              self.conv_scale, self.overlap_ratio,
-                             self.scan_blocks)(x), None
+                             self.scan_blocks, self.oca_rpb)(x), None
 
 
 class HATLite(nn.Module):
@@ -303,6 +332,14 @@ class HATLite(nn.Module):
     conv_scale: float = 0.01
     overlap_ratio: float = 0.5
     scan_blocks: bool = True
+    # HAT-checkpoint compatibility mode: LayerNorm after the embedding conv
+    # and before the body-residual conv, OCA relative-position bias, and a
+    # conv_before_upsample squeeze to `upsample_feat` channels — the extra
+    # structure the reference's external HAT carries
+    # (reference src/architecture.py:51-61 instantiates it with
+    # upsampler='pixelshuffle', resi_connection='1conv').
+    hat_compat: bool = False
+    upsample_feat: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -314,6 +351,9 @@ class HATLite(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
         feat = Conv(self.embed_dim)(x)
         y = feat
+        if self.hat_compat:
+            y = nn.LayerNorm(epsilon=1e-5, dtype=y.dtype,
+                             param_dtype=jnp.float32, name="norm_embed")(y)
         uniform = (len(set(self.depths)) == 1
                    and len(set(self.num_heads)) == 1)
         if self.scan_blocks and uniform and len(self.depths) > 1:
@@ -324,15 +364,25 @@ class HATLite(nn.Module):
                 length=len(self.depths),
             )(self.embed_dim, self.depths[0], self.num_heads[0], ws,
               self.mlp_ratio, self.conv_scale, self.overlap_ratio,
-              self.scan_blocks, name="groups")
+              self.scan_blocks, self.hat_compat, name="groups")
             y, _ = scanned(y, None)
         else:
             for depth, heads in zip(self.depths, self.num_heads):
                 y = ResidualGroup(self.embed_dim, depth, heads, ws,
                                   self.mlp_ratio, self.conv_scale,
-                                  self.overlap_ratio, self.scan_blocks)(y)
+                                  self.overlap_ratio, self.scan_blocks,
+                                  self.hat_compat)(y)
+        if self.hat_compat:
+            y = nn.LayerNorm(epsilon=1e-5, dtype=y.dtype,
+                             param_dtype=jnp.float32, name="norm_body")(y)
         y = Conv(self.embed_dim)(y) + feat
-        y = PixelShuffleUpsampler(self.scale, self.embed_dim)(y)
+        if self.hat_compat:
+            # conv_before_upsample: squeeze to num_feat then LeakyReLU(0.01)
+            y = Conv(self.upsample_feat, name="conv_before_upsample")(y)
+            y = jnp.where(y >= 0, y, jnp.asarray(0.01, y.dtype) * y)
+            y = PixelShuffleUpsampler(self.scale, self.upsample_feat)(y)
+        else:
+            y = PixelShuffleUpsampler(self.scale, self.embed_dim)(y)
         y = Conv(self.out_channels)(y)
         if ph or pw:
             y = y[:, : h * self.scale, : w * self.scale]

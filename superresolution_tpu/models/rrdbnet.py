@@ -134,6 +134,11 @@ class RRDBNet(nn.Module):
     # in backward (O(sqrt) memory for deep trunks at 512^2 training)
     scan_unroll: int = 1
     remat: bool = False
+    # BasicSR convention for scale<4: space-to-depth the input by this
+    # factor (conv_first sees in*u^2 channels) and upsample by scale*u —
+    # required for weight compatibility with reference-ecosystem scale-2
+    # RRDBNet checkpoints (the reference hybrid's stage 1).
+    pixel_unshuffle_input: int = 1
 
     def setup(self):
         self.conv_first = Conv(self.features)
@@ -152,15 +157,20 @@ class RRDBNet(nn.Module):
                 RRDB(self.features, self.growth, self.fused_dense)
                 for _ in range(self.num_blocks)]
         self.trunk_conv = Conv(self.features)
+        up_scale = self.scale * self.pixel_unshuffle_input
         if self.upsampler == "pixelshuffle":
-            self.up = PixelShuffleUpsampler(self.scale, self.features,
+            self.up = PixelShuffleUpsampler(up_scale, self.features,
                                             act=lrelu)
         else:
-            self.up = NearestConvUpsampler(self.scale, self.features)
+            self.up = NearestConvUpsampler(up_scale, self.features)
         self.conv_hr = Conv(self.features)
         self.conv_last = Conv(self.out_channels)
 
     def trunk(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.pixel_unshuffle_input > 1:
+            from superresolution_tpu.ops.pixel_shuffle import space_to_depth
+
+            x = space_to_depth(x, self.pixel_unshuffle_input)
         x = head = self.conv_first(x)
         if self.scan_blocks:
             x, _ = self.body(x, None)
