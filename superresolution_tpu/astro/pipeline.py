@@ -104,13 +104,53 @@ def register_images(hubble_files: list[str], obs_files: list[str],
 # step 2: QC overlay
 # ---------------------------------------------------------------------------
 
-def zscale(img: np.ndarray, contrast: float = 0.25):
-    """ZScale-style display normalization (percentile approximation of the
-    reference's astropy ZScaleInterval, Dataset_step2:111-116)."""
+def zscale_limits(img: np.ndarray, contrast: float = 0.25,
+                  n_samples: int = 1000, krej: float = 2.5,
+                  max_iterations: int = 5,
+                  min_npixels: int = 5) -> tuple[float, float]:
+    """IRAF/astropy ZScale display limits (the algorithm behind the
+    reference's ZScaleInterval, Dataset_step2_mosaicHSTObs.py:111-116):
+    sample the image, fit a line to the sorted sample with k-sigma
+    rejection, and expand the midpoint by slope/contrast."""
     finite = img[np.isfinite(img)]
     if finite.size == 0:
-        return np.zeros_like(img)
-    lo, hi = np.percentile(finite, [2.5, 97.5])
+        return 0.0, 1.0
+    stride = max(1, finite.size // n_samples)
+    samples = np.sort(finite.ravel()[::stride][:n_samples].astype(np.float64))
+    n = samples.size
+    zmin, zmax = samples[0], samples[-1]
+    if n < min_npixels:
+        return float(zmin), float(zmax)
+    x = np.arange(n, dtype=np.float64)
+    center = (n - 1) / 2.0
+    median = float(np.median(samples))
+    good = np.ones(n, bool)
+    slope = 0.0
+    for _ in range(max_iterations):
+        xi, yi = x[good], samples[good]
+        if xi.size < min_npixels:
+            break
+        slope, intercept = np.polyfit(xi, yi, 1)
+        resid = samples - (slope * x + intercept)
+        sigma = resid[good].std()
+        if sigma <= 0:
+            break
+        new_good = np.abs(resid) <= krej * sigma
+        if new_good.sum() == good.sum():
+            break
+        good = new_good
+    if good.sum() < min_npixels:
+        return float(zmin), float(zmax)
+    if contrast > 0:
+        slope = slope / contrast
+    z1 = max(zmin, median - center * slope)
+    z2 = min(zmax, median + (n - center) * slope)
+    return float(z1), float(z2)
+
+
+def zscale(img: np.ndarray, contrast: float = 0.25):
+    """ZScale display normalization of `img` to [0, 1]."""
+    lo, hi = zscale_limits(img, contrast)
     if hi <= lo:
         hi = lo + 1e-9
     return np.clip((img - lo) / (hi - lo), 0, 1)

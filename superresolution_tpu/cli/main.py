@@ -157,6 +157,45 @@ def cmd_show_result(args):
     print(f"collage -> {out}")
 
 
+def cmd_import_reference(args):
+    """Convert a reference-ecosystem .pth (BasicSR ESRGAN RRDBNet or the
+    reference hybrid stage1/stage2 layout) into a checkpoint dir that
+    `upscale --ckpt` consumes directly."""
+    import os
+
+    import numpy as np
+    import orbax.checkpoint as ocp
+    import torch
+
+    from superresolution_tpu.models.convert import detect_and_import
+
+    raw = torch.load(args.pth, map_location="cpu", weights_only=True)
+    # BasicSR release files wrap the state dict
+    for wrap in ("params_ema", "params", "state_dict"):
+        if wrap in raw and isinstance(raw[wrap], dict):
+            raw = raw[wrap]
+            break
+    sd = {k: np.asarray(v.detach().cpu().numpy()) if torch.is_tensor(v)
+          else np.asarray(v) for k, v in raw.items()}
+    variables, model_cfg = detect_and_import(sd)
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    best = os.path.join(out, "best")
+    if os.path.exists(best):
+        import shutil
+
+        shutil.rmtree(best)
+    # checkpoint contract: the 'params' entry holds the FULL flax
+    # variables dict (as train states do)
+    ckptr.save(best, {"params": variables, "ema_params": None})
+    ckptr.wait_until_finished()
+    with open(os.path.join(out, "model_config.json"), "w") as f:
+        json.dump(dict(model_cfg, output_size=None), f, indent=2)
+    print(json.dumps({"checkpoint": best, "model": model_cfg["name"],
+                      "refiner": model_cfg["refiner"]}))
+
+
 def _glob_fits(d):
     import glob
     import os
@@ -271,6 +310,13 @@ def build_parser():
     s.add_argument("--labels", default=None,
                    help="comma-separated panel labels")
     s.set_defaults(fn=cmd_show_result)
+
+    s = sub.add_parser("import-reference",
+                       help="convert a reference-ecosystem .pth into a "
+                            "checkpoint dir for `upscale --ckpt`")
+    s.add_argument("--pth", required=True)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_import_reference)
 
     # the reference's 4 numbered ETL stages (Dataset_step1..4) as
     # non-interactive subcommands

@@ -407,3 +407,71 @@ def export_hybrid_numpy(params: dict, *, num_blocks: int = 23,
         put_lin(f"{pre}.mlp.fc2", oc["Dense_4"])
         put_conv(f"stage2.layers.{gi}.conv", grp["Conv_0"])
     return sd
+
+
+def detect_and_import(sd: dict[str, np.ndarray]):
+    """Infer the architecture of a reference-ecosystem state dict and
+    import it. Returns (variables, model_config_dict) where the config
+    dict matches utils.config.ModelConfig fields (consumable by
+    models.factory.build_from_config and the checkpoint contract).
+
+    Handles: BasicSR ESRGAN RRDBNet dicts (conv_first/body.*/conv_up*)
+    and the reference hybrid (stage1.* RRDBNet scale-2 + stage2.* HAT —
+    reference scripts/Modello_4.py:45-49)."""
+    if any(k.startswith("stage1.") for k in sd):
+        cf = np.asarray(sd["stage1.conv_first.weight"])  # [C, in*u^2, 3, 3]
+        features = cf.shape[0]
+        num_blocks = 1 + max(int(k.split(".")[2]) for k in sd
+                             if k.startswith("stage1.body."))
+        growth = np.asarray(sd["stage1.body.0.rdb1.conv1.weight"]).shape[0]
+        u = 2  # BasicSR scale-2 convention: pixel-unshuffled input
+        in_ch = cf.shape[1] // (u * u)
+        embed_dim = np.asarray(sd["stage2.conv_first.weight"]).shape[0]
+        n_groups = 1 + max(int(k.split(".")[2]) for k in sd
+                           if k.startswith("stage2.layers."))
+        depth = 1 + max(
+            int(k.split(".")[5]) for k in sd
+            if k.startswith("stage2.layers.0.residual_group.blocks."))
+        rpb = np.asarray(sd["stage2.layers.0.residual_group.blocks.0"
+                            ".attn.relative_position_bias_table"])
+        num_heads = rpb.shape[1]
+        ws = (int(round(rpb.shape[0] ** 0.5)) + 1) // 2
+        nf = np.asarray(sd["stage2.conv_before_upsample.0.weight"]).shape[0]
+        up_convs = sum(1 for k in sd
+                       if k.startswith("stage2.upsample.")
+                       and k.endswith(".weight"))
+        s2_scale = 2 ** up_convs
+        params = import_hybrid_numpy(
+            sd, num_blocks=num_blocks, features=features, growth=growth,
+            embed_dim=embed_dim, depths=(depth,) * n_groups)
+        cfg = {
+            "name": "rrdbnet", "scale": 2, "in_channels": in_ch,
+            "out_channels": np.asarray(sd["stage1.conv_last.weight"]).shape[0],
+            "kwargs": {"features": features, "num_blocks": num_blocks,
+                       "growth": growth, "upsampler": "nearest_conv",
+                       "pixel_unshuffle_input": u},
+            "refiner": "hat_lite",
+            "refiner_kwargs": {
+                "scale": s2_scale, "embed_dim": embed_dim,
+                "depths": (depth,) * n_groups,
+                "num_heads": (num_heads,) * n_groups, "window_size": ws,
+                "hat_compat": True, "upsample_feat": nf},
+            "smoothing": "balanced",
+        }
+        return params, cfg
+    # plain BasicSR RRDBNet (ESRGAN)
+    cf = np.asarray(sd["conv_first.weight"])
+    features = cf.shape[0]
+    num_blocks = 1 + max(int(k.split(".")[1]) for k in sd
+                         if k.startswith("body."))
+    growth = np.asarray(sd["body.0.rdb1.conv1.weight"]).shape[0]
+    params = import_rrdbnet_numpy(sd, num_blocks=num_blocks,
+                                  features=features, growth=growth)
+    cfg = {
+        "name": "rrdbnet", "scale": 4, "in_channels": cf.shape[1],
+        "out_channels": np.asarray(sd["conv_last.weight"]).shape[0],
+        "kwargs": {"features": features, "num_blocks": num_blocks,
+                   "growth": growth, "upsampler": "nearest_conv"},
+        "refiner": None, "refiner_kwargs": {}, "smoothing": None,
+    }
+    return params, cfg

@@ -15,14 +15,21 @@ def total_scale(mc: ModelConfig) -> int:
     return s
 
 
+def _tuplify(kw: dict) -> dict:
+    """JSON round-trips turn tuples into lists; flax module fields want
+    hashable tuples back (e.g. HATLite depths/num_heads)."""
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in kw.items()}
+
+
 def build_from_config(mc: ModelConfig, output_size: int | None = None):
     stage1 = get_model(mc.name, scale=mc.scale, in_channels=mc.in_channels,
-                       out_channels=mc.out_channels, **mc.kwargs)
+                       out_channels=mc.out_channels, **_tuplify(mc.kwargs))
     if mc.refiner is None and mc.smoothing in (None, "none"):
         return stage1
     stage2 = None
     if mc.refiner is not None:
         stage2 = get_model(mc.refiner, in_channels=mc.out_channels,
-                           out_channels=mc.out_channels, **mc.refiner_kwargs)
+                           out_channels=mc.out_channels,
+                           **_tuplify(mc.refiner_kwargs))
     return HybridSR(stage1=stage1, stage2=stage2,
                     output_size=output_size, smoothing=mc.smoothing)

@@ -337,3 +337,34 @@ def test_imported_params_match_init_structure(rng):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_import_reference_cli_end_to_end(tmp_path, rng, capsys):
+    """A reference-trained hybrid .pth goes through `import-reference` and
+    is directly usable by `upscale --ckpt` — the switch-over journey for a
+    reference user."""
+    import json
+    import os
+
+    from superresolution_tpu.cli.main import main
+
+    sd = _make_state_dict(rng)
+    pth = str(tmp_path / "best.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               pth)
+
+    out = str(tmp_path / "imported")
+    main(["import-reference", "--pth", pth, "--out", out])
+    info = json.loads(capsys.readouterr().out)
+    assert info["refiner"] == "hat_lite"
+    assert os.path.isdir(info["checkpoint"])
+
+    from superresolution_tpu.data.io import load_image, save_png
+
+    src = str(tmp_path / "in.png")
+    save_png(rng.random((16, 16, 1), dtype=np.float32), src)
+    dst = str(tmp_path / "out.png")
+    main(["upscale", "--input", src, "--output", dst,
+          "--ckpt", info["checkpoint"], "--tile", "16", "--halo", "4"])
+    capsys.readouterr()
+    assert load_image(dst).shape == (64, 64, 1)  # x4 total (2 x 2)
