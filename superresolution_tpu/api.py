@@ -18,9 +18,32 @@ def build_model(name: str, **kwargs) -> Any:
 
 
 def upscale(img, scale: int = 4, *, model=None, params=None,
-            tile: int = 256, halo: int = 16, **model_kwargs):
+            tile: int = 256, halo: int = 16, on_device: bool = False,
+            **model_kwargs):
     """Super-resolve an HWC (or HW) image array by `scale` with overlap-halo
-    tiled inference. See superresolution_tpu.infer.tiled for the mechanism."""
+    tiled inference. See superresolution_tpu.infer.tiled for the mechanism.
+
+    on_device=True runs the whole tile loop as ONE jitted program with the
+    output kept in HBM (infer/tiled_device.py) — the production-serving
+    path; the default host tiler streams tiles and also handles images
+    larger than HBM."""
+    if on_device:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from superresolution_tpu.infer.tiled import _default_model_params
+        from superresolution_tpu.infer.tiled_device import upscale_on_device
+
+        arr = np.asarray(img)
+        squeeze = arr.ndim == 2
+        if squeeze:
+            arr = arr[..., None]
+        model, params = _default_model_params(arr, scale, model, params,
+                                              tile=tile, halo=halo,
+                                              **model_kwargs)
+        out = upscale_on_device(jnp.asarray(arr), scale, model, params,
+                                tile=tile, halo=halo)
+        return out[..., 0] if squeeze else out
     from superresolution_tpu.infer import upscale as _upscale
 
     return _upscale(img, scale, model=model, params=params, tile=tile,

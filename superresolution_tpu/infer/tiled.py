@@ -115,6 +115,26 @@ def tiled_apply(fn, img, scale: int, tile: int = 256, halo: int = 16,
     return out[..., 0] if squeeze else out
 
 
+def _default_model_params(img, scale, model, params, tile: int = 256,
+                          halo: int = 16, **model_kwargs):
+    """Resolve (model, params): `model` may be a flax module, a registry
+    name, or None (defaults to 'rrdbnet'); None params -> random init
+    (smoke tests/benchmarks only)."""
+    from superresolution_tpu.models import get_model
+
+    img = np.asarray(img)
+    c = 1 if img.ndim == 2 else img.shape[-1]
+    if model is None or isinstance(model, str):
+        name = model or "rrdbnet"
+        model = get_model(name, scale=scale, in_channels=c, out_channels=c,
+                          **model_kwargs)
+    if params is None:
+        t_in = tile + 2 * halo
+        params = model.init(jax.random.key(0),
+                            jnp.zeros((1, t_in, t_in, c), jnp.float32))
+    return model, params
+
+
 def upscale(img, scale: int = 4, *, model=None, params=None, tile: int = 256,
             halo: int = 16, batch: int = 8, blend: str = "crop",
             pad_mode: str = "edge", precision: str = "bf16",
@@ -125,20 +145,13 @@ def upscale(img, scale: int = 4, *, model=None, params=None, tile: int = 256,
     'rrdbnet'). If `params` is None the model is randomly initialized —
     useful only for smoke tests/benchmarks.
     """
-    from superresolution_tpu.models import get_model
     from superresolution_tpu.utils.precision import get_policy
 
     img = np.asarray(img)
-    c = 1 if img.ndim == 2 else img.shape[-1]
-    if model is None or isinstance(model, str):
-        name = model or "rrdbnet"
-        model = get_model(name, scale=scale, in_channels=c, out_channels=c,
-                          **model_kwargs)
+    model, params = _default_model_params(img, scale, model, params,
+                                          tile=tile, halo=halo,
+                                          **model_kwargs)
     policy = get_policy(precision)
-    if params is None:
-        t_in = tile + 2 * halo
-        params = model.init(jax.random.key(0),
-                            jnp.zeros((1, t_in, t_in, c), jnp.float32))
 
     @jax.jit
     def fn(x):

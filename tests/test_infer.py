@@ -66,3 +66,17 @@ def test_upscale_api_smoke(rng):
     assert out.shape == (40, 48)
     assert out.dtype == np.float32
     assert (out >= 0).all() and (out <= 1).all()
+
+
+def test_api_upscale_on_device_matches_host(rng):
+    """api.upscale(on_device=True) runs the whole tile loop in one jitted
+    program and must match the host tiler away from borders."""
+    from superresolution_tpu.api import upscale
+
+    img = rng.random((24, 32), dtype=np.float32)
+    host = upscale(img, scale=2, model="espcn", tile=16, halo=4)
+    dev = np.asarray(upscale(img, scale=2, model="espcn", tile=16, halo=4,
+                             on_device=True))
+    assert host.shape == dev.shape == (48, 64)
+    # identical params (seed 0 default init) => identical interiors
+    np.testing.assert_allclose(host[8:-8, 8:-8], dev[8:-8, 8:-8], atol=1e-5)
