@@ -100,11 +100,16 @@ def cmd_test(args):
 
 
 def cmd_upscale(args):
+    import os
+
     import numpy as np
 
     from superresolution_tpu.data.io import load_image, save_png, save_tiff16
     from superresolution_tpu.infer import upscale
 
+    if not os.path.exists(args.input):
+        print(f"error: input image not found: {args.input}", file=sys.stderr)
+        return 2
     img = load_image(args.input)
     params = None
     model = args.model
@@ -113,6 +118,10 @@ def cmd_upscale(args):
         from superresolution_tpu.train.checkpoint import (
             load_params_for_inference)
 
+        if not os.path.exists(args.ckpt):
+            print(f"error: checkpoint not found: {args.ckpt}",
+                  file=sys.stderr)
+            return 2
         params, mc = load_params_for_inference(args.ckpt, with_config=True)
         if mc:
             # rebuild the exact trained architecture from the checkpoint
@@ -121,6 +130,11 @@ def cmd_upscale(args):
             from superresolution_tpu.utils.config import ModelConfig
 
             mc.pop("output_size", None)
+            if args.fast_attn and mc.get("refiner"):
+                # bf16 attention logits: +40% attention-stage throughput,
+                # error within the bf16-weights envelope (BENCHMARKS.md)
+                mc["refiner_kwargs"] = dict(mc.get("refiner_kwargs") or {},
+                                            attn_f32=False)
             mcfg = ModelConfig(**mc)
             # output_size=None: tiles must keep their natural x-scale size
             # (the fixed-resize slot only applies to whole-patch training)
@@ -296,6 +310,9 @@ def build_parser():
     s.add_argument("--ckpt", default=None,
                    help="checkpoint dir (training checkpoints or "
                         "final_weights/best) to load params from")
+    s.add_argument("--fast-attn", action="store_true",
+                   help="bf16 attention logits in attention refiners "
+                        "(faster inference, bf16-envelope accuracy)")
     s.add_argument("--tile", type=int, default=256)
     s.add_argument("--halo", type=int, default=16)
     s.add_argument("--blend", default="crop", choices=["crop", "hann"])

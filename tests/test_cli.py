@@ -100,3 +100,11 @@ def test_astro_pipeline_cli_end_to_end(tmp_path, capsys, rng):
     result = json.loads(out)
     assert result["final_step"] >= 1
     assert os.path.exists(tmp_path / "run" / "splits" / "train.json")
+
+
+def test_upscale_missing_input_friendly_error(tmp_path, capsys):
+    rc = main(["upscale", "--input", str(tmp_path / "nope.png"),
+               "--output", str(tmp_path / "out.png"), "--model", "espcn",
+               "--scale", "2"])
+    assert rc == 2
+    assert "not found" in capsys.readouterr().err

@@ -368,3 +368,69 @@ def test_import_reference_cli_end_to_end(tmp_path, rng, capsys):
           "--ckpt", info["checkpoint"], "--tile", "16", "--halo", "4"])
     capsys.readouterr()
     assert load_image(dst).shape == (64, 64, 1)  # x4 total (2 x 2)
+
+
+def test_plain_esrgan_import_matches_torch(rng):
+    """The plain BasicSR ESRGAN x4 path (detect_and_import) must also match
+    a torch re-expression — covers the nearest-conv upsampler and the
+    fused/scan import without the hybrid wrapper."""
+    from superresolution_tpu.models.convert import detect_and_import
+    from superresolution_tpu.models.factory import build_from_config
+    from superresolution_tpu.utils.config import ModelConfig
+
+    sd = {}
+
+    def conv(name, cout, cin):
+        sd[f"{name}.weight"] = rng.normal(
+            0, 0.08, (cout, cin, 3, 3)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(0, 0.01, (cout,)).astype(np.float32)
+
+    conv("conv_first", C1, 3)
+    for i in range(NB):
+        for r in (1, 2, 3):
+            for j in range(1, 6):
+                conv(f"body.{i}.rdb{r}.conv{j}",
+                     G1 if j < 5 else C1, C1 + (j - 1) * G1)
+    for name, cout, cin in (("conv_body", C1, C1), ("conv_up1", C1, C1),
+                            ("conv_up2", C1, C1), ("conv_hr", C1, C1),
+                            ("conv_last", 3, C1)):
+        conv(name, cout, cin)
+
+    variables, cfg = detect_and_import(sd)
+    assert cfg["refiner"] is None and cfg["scale"] == 4
+    model = build_from_config(ModelConfig(**dict(
+        cfg, kwargs=dict(cfg["kwargs"], features=C1, num_blocks=NB,
+                         growth=G1))))
+    x = rng.random((1, 12, 12, 3), dtype=np.float32)
+
+    import jax.numpy as jnp
+
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    # torch re-expression: plain ESRGAN x4 (no pixel_unshuffle)
+    with torch.no_grad():
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)
+        feat = t_conv(t, sd, "conv_first")
+        y = feat
+        for i in range(NB):
+            rrdb_in = y
+            for r in (1, 2, 3):
+                d_in = y
+                feats = [y]
+                for j in range(1, 5):
+                    z = F.leaky_relu(
+                        t_conv(torch.cat(feats, 1), sd,
+                               f"body.{i}.rdb{r}.conv{j}"), 0.2)
+                    feats.append(z)
+                y = d_in + 0.2 * t_conv(torch.cat(feats, 1), sd,
+                                        f"body.{i}.rdb{r}.conv5")
+            y = rrdb_in + 0.2 * y
+        y = t_conv(y, sd, "conv_body") + feat
+        for up in ("conv_up1", "conv_up2"):
+            y = F.interpolate(y, scale_factor=2, mode="nearest")
+            y = F.leaky_relu(t_conv(y, sd, up), 0.2)
+        y = F.leaky_relu(t_conv(y, sd, "conv_hr"), 0.2)
+        theirs = t_conv(y, sd, "conv_last").permute(0, 2, 3, 1).numpy()
+
+    assert ours.shape == theirs.shape == (1, 48, 48, 3)
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)

@@ -112,3 +112,23 @@ def test_bf16_compute_fp32_params():
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
     out = model.apply(params, x32.astype(jnp.bfloat16))
     assert out.dtype == jnp.bfloat16
+
+
+def test_hat_bf16_attention_mode_close_to_f32(rng):
+    """attn_f32=False (bf16 logits fast-inference mode) must produce
+    outputs close to the f32 path on the same weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_tpu.models.hat_lite import HATLite
+
+    kw = dict(scale=2, in_channels=1, out_channels=1, embed_dim=16,
+              depths=(2,), num_heads=(2,), window_size=4)
+    a = HATLite(**kw, attn_f32=True)
+    b = HATLite(**kw, attn_f32=False)
+    x = jnp.asarray(rng.random((1, 16, 16, 1), dtype=np.float32))
+    p = a.init(jax.random.key(0), x)
+    ya = a.apply(p, x)
+    yb = b.apply(p, x)  # same param structure
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               atol=2e-2, rtol=2e-2)
