@@ -173,6 +173,12 @@ class Trainer:
         epochs = epochs if epochs is not None else cfg.epochs
         best = {"psnr": float("-inf"), "ssim": 0.0}
         t_start = time.time()
+        # host-side step counter: reading int(self.state.step) every
+        # iteration would force a device sync per step — through a
+        # high-latency link that serializes the whole pipeline (measured:
+        # the same jitted step runs 4.9 ms pipelined vs ~600 ms when
+        # synced each iteration on the dev tunnel)
+        step = int(self.state.step)
         for epoch in range(self.start_epoch, epochs):
             self.train_loader.set_epoch(epoch)
             epoch_logs = None
@@ -183,13 +189,13 @@ class Trainer:
                                          size=self.cfg.data.prefetch,
                                          sharding=batch_sharding(self.mesh))
             for batch in batches:
-                step = int(self.state.step)
                 key = jax.random.fold_in(self._base_key, step)
                 if self.is_gan:
                     self.state, self.d_state, logs = self._gan_step(
                         self.state, self.d_state, batch, key)
                 else:
                     self.state, logs = self._train_step(self.state, batch, key)
+                step += 1
                 nb += 1
                 if epoch_logs is None:
                     epoch_logs = logs
@@ -197,14 +203,13 @@ class Trainer:
                     epoch_logs = jax.tree.map(jnp.add, epoch_logs, logs)
             if epoch_logs is not None:
                 mean_logs = {k: float(v) / nb for k, v in epoch_logs.items()}
-                mean_logs["lr"] = float(self.schedule(int(self.state.step)))
-                self.logger.scalars(int(self.state.step), mean_logs,
-                                    prefix="train/")
+                mean_logs["lr"] = float(self.schedule(step))
+                self.logger.scalars(step, mean_logs, prefix="train/")
             if (epoch + 1) % cfg.eval_every == 0 or epoch == epochs - 1:
                 val = self.evaluate()
-                self.logger.scalars(int(self.state.step), val, prefix="val/")
+                self.logger.scalars(step, val, prefix="val/")
                 # async: the disk write overlaps the next training epoch
-                is_best = self.ckpt.save(self.state, int(self.state.step),
+                is_best = self.ckpt.save(self.state, step,
                                          psnr=val["psnr"], block=False)
                 if is_best:
                     best = dict(val)
