@@ -225,12 +225,16 @@ class Trainer:
         batches = prefetch_to_device(self.val_loader,
                                      size=self.cfg.data.prefetch,
                                      sharding=batch_sharding(self.mesh))
+        sums = None
         for i, batch in enumerate(batches):
             key = jax.random.fold_in(self._base_key, 2**30 + i)
             out = self._eval_step(self.state, batch, key)
-            # only the masked scalar sums leave the device
-            m.update_sums(float(out["psnr_sum"]), float(out["ssim_sum"]),
-                          float(out["n"]))
+            cur = (out["psnr_sum"], out["ssim_sum"], out["n"])
+            # accumulate on device; a float() per batch would force a
+            # device sync each iteration (high-latency on tunneled links)
+            sums = cur if sums is None else jax.tree.map(jnp.add, sums, cur)
+        if sums is not None:
+            m.update_sums(float(sums[0]), float(sums[1]), float(sums[2]))
         return m.compute()
 
     def _save_preview(self, epoch: int) -> None:
