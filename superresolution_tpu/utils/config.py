@@ -261,6 +261,23 @@ def _preset_hybrid_astro_prod() -> Config:
     )
 
 
+def _preset_hybrid_astro_h200() -> Config:
+    """The reference Backup 'H200' architecture variant: HAT embed 120,
+    6 groups of depth 6, window 16 (reference
+    Backup/src/architecture.py:48-68) with the Backup production training
+    config."""
+    base = _preset_hybrid_astro_prod()
+    return base.replace(
+        name="hybrid_astro_h200",
+        model=dataclasses.replace(
+            base.model,
+            refiner_kwargs={
+                "scale": 2, "embed_dim": 120, "depths": (6,) * 6,
+                "num_heads": (6,) * 6, "window_size": 16,
+            }),
+    )
+
+
 presets: dict[str, Any] = {}
 
 
@@ -269,6 +286,7 @@ def _register_presets() -> None:
         _preset_srcnn_x2, _preset_espcn_x4, _preset_fsrcnn_x4,
         _preset_edsr_baseline, _preset_esrgan_tiled, _preset_esrgan_gan,
         _preset_hybrid_astro, _preset_hybrid_astro_prod,
+        _preset_hybrid_astro_h200,
     ):
         cfg = fn()
         presets[cfg.name] = cfg

@@ -211,6 +211,7 @@ def _shrink_preset(cfg):
 @pytest.mark.parametrize("name", [
     "srcnn_x2", "espcn_x4", "fsrcnn_x4", "edsr_baseline_x4",
     "esrgan_x4_tiled", "esrgan_gan", "hybrid_astro", "hybrid_astro_prod",
+    "hybrid_astro_h200",
 ])
 def test_every_preset_steps_one_epoch(name, tmp_path):
     """Every preset must actually TRAIN out of the box (round-1 verdict:
