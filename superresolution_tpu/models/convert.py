@@ -459,6 +459,34 @@ def detect_and_import(sd: dict[str, np.ndarray]):
             "smoothing": "balanced",
         }
         return params, cfg
+    if any(k.startswith("layers.") and ".residual_group." in k for k in sd):
+        # bare HAT checkpoint (no hybrid wrapper)
+        embed_dim = np.asarray(sd["conv_first.weight"]).shape[0]
+        in_ch = np.asarray(sd["conv_first.weight"]).shape[1]
+        n_groups = 1 + max(int(k.split(".")[1]) for k in sd
+                           if k.startswith("layers."))
+        depth = 1 + max(int(k.split(".")[4]) for k in sd
+                        if k.startswith("layers.0.residual_group.blocks."))
+        rpb = np.asarray(sd["layers.0.residual_group.blocks.0"
+                            ".attn.relative_position_bias_table"])
+        num_heads = rpb.shape[1]
+        ws = (int(round(rpb.shape[0] ** 0.5)) + 1) // 2
+        nf = np.asarray(sd["conv_before_upsample.0.weight"]).shape[0]
+        up_convs = sum(1 for k in sd if k.startswith("upsample.")
+                       and k.endswith(".weight"))
+        params = {"params": import_hat_numpy(
+            sd, embed_dim=embed_dim, depths=(depth,) * n_groups)}
+        cfg = {
+            "name": "hat_lite", "scale": 2 ** up_convs,
+            "in_channels": in_ch,
+            "out_channels": np.asarray(sd["conv_last.weight"]).shape[0],
+            "kwargs": {"embed_dim": embed_dim, "depths": (depth,) * n_groups,
+                       "num_heads": (num_heads,) * n_groups,
+                       "window_size": ws, "hat_compat": True,
+                       "upsample_feat": nf},
+            "refiner": None, "refiner_kwargs": {}, "smoothing": None,
+        }
+        return params, cfg
     # plain BasicSR RRDBNet (ESRGAN)
     cf = np.asarray(sd["conv_first.weight"])
     features = cf.shape[0]

@@ -434,3 +434,30 @@ def test_plain_esrgan_import_matches_torch(rng):
 
     assert ours.shape == theirs.shape == (1, 48, 48, 3)
     np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_bare_hat_import(rng):
+    """A HAT checkpoint without the hybrid wrapper imports, applies, and
+    matches the hybrid test's torch stage-2 re-expression."""
+    from superresolution_tpu.models.convert import detect_and_import
+    from superresolution_tpu.models.factory import build_from_config
+    from superresolution_tpu.utils.config import ModelConfig
+
+    hyb = _make_state_dict(rng)
+    sd = {k[len("stage2."):]: v for k, v in hyb.items()
+          if k.startswith("stage2.")}
+    variables, cfg = detect_and_import(sd)
+    assert cfg["name"] == "hat_lite" and cfg["scale"] == 2
+    assert cfg["kwargs"]["window_size"] == WS
+    model = build_from_config(ModelConfig(**cfg))
+    x = rng.random((1, 16, 16, 1), dtype=np.float32)
+
+    import jax.numpy as jnp
+
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = torch_stage2(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            {f"stage2.{k}": v for k, v in sd.items()},
+        ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
