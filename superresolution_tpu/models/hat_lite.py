@@ -288,14 +288,20 @@ class ResidualGroup(nn.Module):
     scan_blocks: bool = True
     oca_rpb: bool = False
     attn_f32: bool = True
+    # rematerialize each HAB pair in backward: activation memory drops
+    # from O(depth) to O(1) per group — required to TRAIN the reference
+    # hybrid at 512^2 within 16 GB HBM (same pattern as RRDBNet.remat)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = x
         if self.scan_blocks and self.depth >= 2:
             pairs = self.depth // 2
+            body_cls = (nn.remat(_HABPair, prevent_cse=False)
+                        if self.remat else _HABPair)
             scanned = nn.scan(
-                _HABPair,
+                body_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=pairs,
@@ -327,6 +333,7 @@ class _GroupScanBody(nn.Module):
     scan_blocks: bool
     oca_rpb: bool = False
     attn_f32: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, _):
@@ -334,7 +341,7 @@ class _GroupScanBody(nn.Module):
                              self.window_size, self.mlp_ratio,
                              self.conv_scale, self.overlap_ratio,
                              self.scan_blocks, self.oca_rpb,
-                             self.attn_f32)(x), None
+                             self.attn_f32, self.remat)(x), None
 
 
 class HATLite(nn.Module):
@@ -360,6 +367,7 @@ class HATLite(nn.Module):
     # f32 attention logits (training default); False halves the dominant
     # HBM traffic of every attention block for inference
     attn_f32: bool = True
+    remat: bool = False  # rematerialized HAB pairs (train-memory option)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -385,14 +393,15 @@ class HATLite(nn.Module):
             )(self.embed_dim, self.depths[0], self.num_heads[0], ws,
               self.mlp_ratio, self.conv_scale, self.overlap_ratio,
               self.scan_blocks, self.hat_compat, self.attn_f32,
-              name="groups")
+              self.remat, name="groups")
             y, _ = scanned(y, None)
         else:
             for depth, heads in zip(self.depths, self.num_heads):
                 y = ResidualGroup(self.embed_dim, depth, heads, ws,
                                   self.mlp_ratio, self.conv_scale,
                                   self.overlap_ratio, self.scan_blocks,
-                                  self.hat_compat, self.attn_f32)(y)
+                                  self.hat_compat, self.attn_f32,
+                                  self.remat)(y)
         if self.hat_compat:
             y = nn.LayerNorm(epsilon=1e-5, dtype=y.dtype,
                              param_dtype=jnp.float32, name="norm_body")(y)

@@ -233,11 +233,15 @@ def _preset_hybrid_astro() -> Config:
         name="hybrid_astro",
         model=ModelConfig(
             name="rrdbnet", scale=2, in_channels=1, out_channels=1,
-            kwargs={"features": 64, "num_blocks": 23, "growth": 32},
+            # remat: O(1) activation memory per trunk — training this
+            # model at 512^2 outputs does not fit 16 GB HBM without it
+            kwargs={"features": 64, "num_blocks": 23, "growth": 32,
+                    "remat": True},
             refiner="hat_lite",
             refiner_kwargs={
                 "scale": 2, "embed_dim": 96, "depths": (6, 6, 6, 6),
                 "num_heads": (6, 6, 6, 6), "window_size": 8,
+                "remat": True,
             },
             smoothing="balanced",
         ),
