@@ -25,7 +25,7 @@ def run_test(trainer, out_dir: str | None = None,
     out_dir = out_dir or os.path.join(trainer.workdir, "test_results")
     os.makedirs(out_dir, exist_ok=True)
     m = Metrics()
-    loader = Loader(trainer.val_ds, 1, shuffle=False, num_workers=2)
+    loader = Loader(trainer.test_ds, 1, shuffle=False, num_workers=2)
     for i, batch in enumerate(loader):
         key = jax.random.fold_in(trainer._base_key, 2**29 + i)
         out = trainer._eval_step(trainer.state,

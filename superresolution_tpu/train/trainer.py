@@ -146,6 +146,18 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
         self._base_key = jax.random.key(config.train.seed + 7)
 
+    @property
+    def test_ds(self):
+        """Test split for run_test: the test manifest when configured
+        (reference contract: Modello_5 evaluates test.json), else val."""
+        dc = self.cfg.data
+        if dc.test_manifest:
+            lr_size = (dc.hr_patch // self.scale
+                       if dc.degradation == "none" else None)
+            return PairedDataset(dc.test_manifest, dc.base_path,
+                                 lr_size=lr_size)
+        return self.val_ds
+
     def _build_datasets(self):
         dc = self.cfg.data
         c = self.cfg.model.in_channels
