@@ -195,6 +195,7 @@ class Trainer:
             self.train_loader.set_epoch(epoch)
             epoch_logs = None
             nb = 0
+            t_epoch = time.time()
             # double-buffered host->HBM prefetch: the next batch transfers
             # (sharded over the data axis) while the current step runs
             batches = prefetch_to_device(self.train_loader,
@@ -215,7 +216,11 @@ class Trainer:
                     epoch_logs = jax.tree.map(jnp.add, epoch_logs, logs)
             if epoch_logs is not None:
                 mean_logs = {k: float(v) / nb for k, v in epoch_logs.items()}
+                # the float() above synced the device, so the epoch wall
+                # time is an honest throughput denominator
+                wall = max(time.time() - t_epoch, 1e-9)
                 mean_logs["lr"] = float(self.schedule(step))
+                mean_logs["samples_per_sec"] = nb * self.batch_size / wall
                 self.logger.scalars(step, mean_logs, prefix="train/")
             if (epoch + 1) % cfg.eval_every == 0 or epoch == epochs - 1:
                 val = self.evaluate()
