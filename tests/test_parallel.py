@@ -81,3 +81,41 @@ def test_spatial_shard_apply_matches_single_device(rng):
     # exact away from the true image border (same contract as tiling)
     b = 8 * 2
     np.testing.assert_allclose(sharded[:, b:-b], full[:, b:-b], atol=2e-5)
+
+
+@requires_8
+def test_hybrid_attention_dp_step_matches_single_device(rng):
+    """The attention hybrid (RRDB -> HAT) must also be DP-exact on the
+    mesh — windowed attention, rolls, LayerNorms and the CAB branch all
+    shard over the batch axis without cross-device effects."""
+    from superresolution_tpu.models.hat_lite import HATLite
+    from superresolution_tpu.models.hybrid import HybridSR
+    from superresolution_tpu.models.rrdbnet import RRDBNet
+
+    model = HybridSR(
+        stage1=RRDBNet(scale=2, in_channels=1, out_channels=1, features=8,
+                       num_blocks=1, growth=4),
+        stage2=HATLite(scale=2, in_channels=1, out_channels=1, embed_dim=8,
+                       depths=(2,), num_heads=(2,), window_size=4),
+        output_size=None, smoothing="balanced")
+    tcfg = TrainConfig(lr=1e-3, precision="fp32")
+    tx, _ = make_optimizer(tcfg, 100)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 1)))
+    dcfg = DataConfig(degradation="bicubic", augment=False)
+    step = make_train_step(model, CombinedLoss(LossConfig()), tx,
+                           get_policy("fp32"),
+                           make_device_input(dcfg, 4))
+    batch = {"hr": jnp.asarray(rng.random((8, 32, 32, 1), dtype=np.float32))}
+    key = jax.random.key(5)
+
+    ref_state, ref_logs = jax.jit(step)(create_train_state(params, tx),
+                                        batch, key)
+    mesh = create_mesh(MeshConfig(data=8, spatial=1))
+    dp_state, dp_logs = jax.jit(step)(
+        create_train_state(params, tx),
+        shard_batch(mesh, jax.tree.map(np.asarray, batch)), key)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(dp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert abs(float(ref_logs["total"]) - float(dp_logs["total"])) < 1e-5
