@@ -62,3 +62,32 @@ def test_staged_tiler_chunked_trunk(rng):
     np.testing.assert_allclose(np.asarray(chunked(jnp.asarray(img))),
                                np.asarray(all_at_once(jnp.asarray(img))),
                                atol=1e-5)
+
+
+def test_staged_runner_with_folded_tail_matches_standard(rng):
+    """The staged tiler with the deploy-time folded tail must equal the
+    staged tiler with the standard tail (same weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_tpu.infer import make_tiled_infer_staged
+    from superresolution_tpu.infer.folded_tail import make_folded_tail
+    from superresolution_tpu.models import RRDBNet
+
+    model = RRDBNet(scale=4, in_channels=3, out_channels=3, features=8,
+                    num_blocks=1, growth=4, upsampler="pixelshuffle")
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+
+    def trunk(t):
+        return model.apply(params, t, method="trunk")
+
+    def tail_std(f):
+        return jnp.clip(model.apply(params, f, method="tail"), 0, 1)
+
+    tail_folded = make_folded_tail(params)
+    img = jnp.asarray(rng.random((40, 48, 3), dtype=np.float32))
+    kw = dict(scale=4, tile=16, halo=4, tail_batch=2, h=40, w=48, channels=3)
+    a = np.asarray(make_tiled_infer_staged(trunk, tail_std, **kw)(img))
+    b = np.asarray(make_tiled_infer_staged(trunk, tail_folded, **kw)(img))
+    assert a.shape == b.shape == (160, 192, 3)
+    np.testing.assert_allclose(a, b, atol=3e-5)
