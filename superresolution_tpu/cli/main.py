@@ -131,10 +131,13 @@ def cmd_upscale(args):
 
             mc.pop("output_size", None)
             if args.fast_attn and mc.get("refiner"):
-                # bf16 attention logits: +40% attention-stage throughput,
-                # error within the bf16-weights envelope (BENCHMARKS.md)
+                # flash window attention (Pallas, ops/pallas_attn.py):
+                # logits stay in VMEM — faster AND more accurate than the
+                # bf16-logits mode it supersedes (BENCHMARKS.md); bf16
+                # logits remain the fallback for any non-flash einsums
                 mc["refiner_kwargs"] = dict(mc.get("refiner_kwargs") or {},
-                                            attn_f32=False)
+                                            attn_f32=False,
+                                            flash_attn=True)
             mcfg = ModelConfig(**mc)
             # output_size=None: tiles must keep their natural x-scale size
             # (the fixed-resize slot only applies to whole-patch training)
@@ -311,8 +314,9 @@ def build_parser():
                    help="checkpoint dir (training checkpoints or "
                         "final_weights/best) to load params from")
     s.add_argument("--fast-attn", action="store_true",
-                   help="bf16 attention logits in attention refiners "
-                        "(faster inference, bf16-envelope accuracy)")
+                   help="Pallas flash window attention in attention "
+                        "refiners (faster inference; attention softmax "
+                        "stays f32 in VMEM)")
     s.add_argument("--tile", type=int, default=256)
     s.add_argument("--halo", type=int, default=16)
     s.add_argument("--blend", default="crop", choices=["crop", "hann"])

@@ -76,8 +76,9 @@ def _relative_position_index_oca(ws: int, wse: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
-    """Swin shifted-window attention mask: [nWindows, n, n] of 0 / -inf."""
+def _shift_region_ids(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Swin shift region labels per window: [nWindows, ws*ws] int32.
+    Two positions may attend iff their labels match."""
     img = np.zeros((h, w), dtype=np.int32)
     cnt = 0
     for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
@@ -85,8 +86,14 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
             img[hs, wsl] = cnt
             cnt += 1
     win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
-    win = win.reshape(-1, ws * ws)
-    diff = win[:, :, None] - win[:, None, :]
+    return np.ascontiguousarray(win.reshape(-1, ws * ws))
+
+
+@lru_cache(maxsize=None)
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Swin shifted-window attention mask: [nWindows, n, n] of 0 / -inf."""
+    win = _shift_region_ids(h, w, ws, shift)
+    diff = win[:, :, None].astype(np.int64) - win[:, None, :]
     return np.where(diff == 0, 0.0, -1e9).astype(np.float32)
 
 
@@ -99,36 +106,55 @@ class WindowAttention(nn.Module):
     # traffic of the whole block (measured: ~2x faster attention path,
     # output diff ~1e-3; fine for inference).
     attn_f32: bool = True
+    # Pallas flash kernel (ops/pallas_attn.py): logits never leave VMEM —
+    # removes the logits HBM traffic entirely. Compiled on TPU,
+    # interpreter elsewhere; gradients via the jnp reference (custom_vjp).
+    flash: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
-        """x: [nB, n, C] windows; mask: [nW, n, n] or None."""
+    def __call__(self, x: jnp.ndarray,
+                 region_ids: jnp.ndarray | None) -> jnp.ndarray:
+        """x: [nB, n, C] windows; region_ids: [nW, n] int32 Swin shift
+        labels (None for unshifted blocks)."""
         nb, n, c = x.shape
         nh = self.num_heads
         hd = c // nh
         acc_t = jnp.float32 if self.attn_f32 else x.dtype
         qkv = nn.Dense(3 * c, dtype=x.dtype, param_dtype=jnp.float32)(x)
-        q, k, v = jnp.split(qkv.reshape(nb, n, 3, nh, hd)
-                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
-        q, k, v = q[0], k[0], v[0]  # [nb, nh, n, hd]
-        scale = jnp.asarray(hd, jnp.float32) ** -0.5
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=acc_t) * scale.astype(acc_t)
         rpb_table = self.param(
             "rel_pos_bias",
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window_size - 1) ** 2, nh), jnp.float32)
         idx = jnp.asarray(_relative_position_index(self.window_size))
         bias = rpb_table[idx.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(acc_t)
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = (attn.reshape(nb // nw, nw, nh, n, n)
-                    + mask[None, :, None].astype(acc_t))
-            attn = attn.reshape(nb, nh, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+        if self.flash:
+            from superresolution_tpu.ops.pallas_attn import (
+                flash_window_attention)
+
+            q, k, v = jnp.split(qkv, 3, axis=-1)  # packed [nb, n, C]
+            interpret = jax.default_backend() != "tpu"
+            out = flash_window_attention(q, k, v, bias, nh, interpret,
+                                         region_ids)
+        else:
+            q, k, v = jnp.split(qkv.reshape(nb, n, 3, nh, hd)
+                                .transpose(2, 0, 3, 1, 4), 3, axis=0)
+            q, k, v = q[0], k[0], v[0]  # [nb, nh, n, hd]
+            scale = jnp.asarray(hd, jnp.float32) ** -0.5
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k,
+                preferred_element_type=acc_t) * scale.astype(acc_t)
+            attn = attn + bias[None].astype(acc_t)
+            if region_ids is not None:
+                nw = region_ids.shape[0]
+                mask = jnp.where(
+                    region_ids[:, :, None] == region_ids[:, None, :],
+                    0.0, -1e9)
+                attn = (attn.reshape(nb // nw, nw, nh, n, n)
+                        + mask[None, :, None].astype(acc_t))
+                attn = attn.reshape(nb, nh, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
         return nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(out)
 
 
@@ -163,6 +189,7 @@ class HABlock(nn.Module):
     mlp_ratio: float = 2.0
     conv_scale: float = 0.01
     attn_f32: bool = True
+    flash_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -172,12 +199,13 @@ class HABlock(nn.Module):
         cab = ChannelAttentionBlock(c)(y)
         if self.shift:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(h, w, ws, self.shift))
+            region_ids = jnp.asarray(_shift_region_ids(h, w, ws, self.shift))
         else:
-            mask = None
+            region_ids = None
         wins = window_partition(y, ws)
         wins = WindowAttention(c, self.num_heads, ws,
-                       attn_f32=self.attn_f32)(wins, mask)
+                       attn_f32=self.attn_f32,
+                       flash=self.flash_attn)(wins, region_ids)
         y = window_merge(wins, ws, (h, w))
         if self.shift:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
@@ -202,6 +230,7 @@ class OverlappingCrossAttention(nn.Module):
     # the query window and the enlarged key/value window
     use_rpb: bool = False
     attn_f32: bool = True  # see WindowAttention.attn_f32
+    flash: bool = False  # see WindowAttention.flash (cross-attn variant)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -228,13 +257,7 @@ class OverlappingCrossAttention(nn.Module):
         nh = self.num_heads
         hd = c // nh
         qd = nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(q)
-        qh = qd.reshape(-1, ws * ws, nh, hd).transpose(0, 2, 1, 3)
-        kh = k.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
-        vh = v.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
-        acc_t = jnp.float32 if self.attn_f32 else x.dtype
-        scale = jnp.asarray(hd, jnp.float32) ** -0.5
-        attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
-                          preferred_element_type=acc_t) * scale.astype(acc_t)
+        bias = None
         if self.use_rpb:
             table = self.param(
                 "rel_pos_bias_oca",
@@ -243,10 +266,29 @@ class OverlappingCrossAttention(nn.Module):
             idx = jnp.asarray(_relative_position_index_oca(ws, ows))
             bias = table[idx.reshape(-1)].reshape(
                 ws * ws, ows * ows, nh).transpose(2, 0, 1)
-            attn = attn + bias[None].astype(acc_t)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
+        if self.flash:
+            from superresolution_tpu.ops.pallas_attn import (
+                flash_window_attention)
+
+            if bias is None:
+                bias = jnp.zeros((nh, ws * ws, ows * ows), jnp.float32)
+            interpret = jax.default_backend() != "tpu"
+            out = flash_window_attention(qd, k, v, bias, nh, interpret,
+                                         None)
+        else:
+            qh = qd.reshape(-1, ws * ws, nh, hd).transpose(0, 2, 1, 3)
+            kh = k.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
+            vh = v.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
+            acc_t = jnp.float32 if self.attn_f32 else x.dtype
+            scale = jnp.asarray(hd, jnp.float32) ** -0.5
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", qh, kh,
+                preferred_element_type=acc_t) * scale.astype(acc_t)
+            if bias is not None:
+                attn = attn + bias[None].astype(acc_t)
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh)
+            out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
         out = nn.Dense(c, dtype=x.dtype, param_dtype=jnp.float32)(out)
         y = window_merge(out, ws, (h, w))
         x = x + y
@@ -266,14 +308,16 @@ class _HABPair(nn.Module):
     mlp_ratio: float
     conv_scale: float
     attn_f32: bool = True
+    flash_attn: bool = False
 
     @nn.compact
     def __call__(self, x, _):
         x = HABlock(self.dim, self.num_heads, self.window_size, 0,
-                    self.mlp_ratio, self.conv_scale, self.attn_f32)(x)
+                    self.mlp_ratio, self.conv_scale, self.attn_f32,
+                    self.flash_attn)(x)
         x = HABlock(self.dim, self.num_heads, self.window_size,
                     self.window_size // 2, self.mlp_ratio, self.conv_scale,
-                    self.attn_f32)(x)
+                    self.attn_f32, self.flash_attn)(x)
         return x, None
 
 
@@ -292,6 +336,7 @@ class ResidualGroup(nn.Module):
     # from O(depth) to O(1) per group — required to TRAIN the reference
     # hybrid at 512^2 within 16 GB HBM (same pattern as RRDBNet.remat)
     remat: bool = False
+    flash_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -306,7 +351,8 @@ class ResidualGroup(nn.Module):
                 split_rngs={"params": True},
                 length=pairs,
             )(self.dim, self.num_heads, self.window_size, self.mlp_ratio,
-              self.conv_scale, self.attn_f32, name="hab_pairs")
+              self.conv_scale, self.attn_f32, self.flash_attn,
+              name="hab_pairs")
             y, _ = scanned(y, None)
             tail = self.depth - 2 * pairs
         else:
@@ -314,7 +360,14 @@ class ResidualGroup(nn.Module):
         for i in range(tail):
             shift = 0 if i % 2 == 0 else self.window_size // 2
             y = HABlock(self.dim, self.num_heads, self.window_size, shift,
-                        self.mlp_ratio, self.conv_scale, self.attn_f32)(y)
+                        self.mlp_ratio, self.conv_scale, self.attn_f32,
+                        self.flash_attn)(y)
+        # OCAB stays on the einsum path even when flash_attn is set:
+        # measured on the hybrid workload (benchmarks/exp_r3_hybrid_flash),
+        # the cross-attn kernel's m=144 N-padding + masked-K FLOP overhead
+        # exceeds its logits-traffic savings at ws=8 (350.7 vs 343.2
+        # ms/batch). OCAB.flash remains available for direct use (e.g.
+        # ws=16 'H200' windows where the logits tensor is 4x larger).
         y = OverlappingCrossAttention(self.dim, self.num_heads,
                                       self.window_size, self.overlap_ratio,
                                       use_rpb=self.oca_rpb,
@@ -334,6 +387,7 @@ class _GroupScanBody(nn.Module):
     oca_rpb: bool = False
     attn_f32: bool = True
     remat: bool = False
+    flash_attn: bool = False
 
     @nn.compact
     def __call__(self, x, _):
@@ -341,7 +395,8 @@ class _GroupScanBody(nn.Module):
                              self.window_size, self.mlp_ratio,
                              self.conv_scale, self.overlap_ratio,
                              self.scan_blocks, self.oca_rpb,
-                             self.attn_f32, self.remat)(x), None
+                             self.attn_f32, self.remat,
+                             self.flash_attn)(x), None
 
 
 class HATLite(nn.Module):
@@ -368,6 +423,10 @@ class HATLite(nn.Module):
     # HBM traffic of every attention block for inference
     attn_f32: bool = True
     remat: bool = False  # rematerialized HAB pairs (train-memory option)
+    # Pallas flash window attention (ops/pallas_attn.py): logits stay in
+    # VMEM. The fastest inference path on TPU; gradients fall back to the
+    # jnp reference via custom_vjp.
+    flash_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -393,7 +452,7 @@ class HATLite(nn.Module):
             )(self.embed_dim, self.depths[0], self.num_heads[0], ws,
               self.mlp_ratio, self.conv_scale, self.overlap_ratio,
               self.scan_blocks, self.hat_compat, self.attn_f32,
-              self.remat, name="groups")
+              self.remat, self.flash_attn, name="groups")
             y, _ = scanned(y, None)
         else:
             for depth, heads in zip(self.depths, self.num_heads):
@@ -401,7 +460,7 @@ class HATLite(nn.Module):
                                   self.mlp_ratio, self.conv_scale,
                                   self.overlap_ratio, self.scan_blocks,
                                   self.hat_compat, self.attn_f32,
-                                  self.remat)(y)
+                                  self.remat, self.flash_attn)(y)
         if self.hat_compat:
             y = nn.LayerNorm(epsilon=1e-5, dtype=y.dtype,
                              param_dtype=jnp.float32, name="norm_body")(y)
