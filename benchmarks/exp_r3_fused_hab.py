@@ -72,7 +72,9 @@ def make_weights(key):
         "wq": jax.random.normal(ks[2], (C, C), jnp.bfloat16) * 0.05,
         "wk": jax.random.normal(ks[3], (C, C), jnp.bfloat16) * 0.05,
         "wv": jax.random.normal(ks[4], (C, C), jnp.bfloat16) * 0.05,
-        "bqkv": jax.random.normal(ks[5], (1, 3 * C), jnp.float32) * 0.02,
+        "bq": jax.random.normal(ks[5], (1, C), jnp.float32) * 0.02,
+        "bk": jax.random.normal(ks[5], (1, C), jnp.float32) * 0.02,
+        "bv": jax.random.normal(ks[5], (1, C), jnp.float32) * 0.02,
         "rpb": jax.random.normal(ks[6], (NH, N, N), jnp.float32) * 0.1,
         "wp": jax.random.normal(ks[7], (C, C), jnp.bfloat16) * 0.05,
         "bp": jax.random.normal(ks[7], (1, C), jnp.float32) * 0.02,
@@ -92,6 +94,25 @@ def _ln(xf, s, b):
     return (xf - mu) * jax.lax.rsqrt(var + EPS) * s + b
 
 
+def _erf_poly(z):
+    """Abramowitz & Stegun 7.1.26 erf (max abs err 1.5e-7) — Mosaic has
+    no erf/erfc primitive on this libtpu; 1.5e-7 is far below bf16
+    resolution so GELU built on this is exact at block IO precision."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + p * az)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-az * az)
+    return jnp.sign(z) * y
+
+
+def _gelu_exact(x):
+    """Exact (erf-based) GELU via the polynomial erf, f32 in, f32 out."""
+    return 0.5 * x * (1.0 + _erf_poly(x * 0.7071067811865476))
+
+
 def ref_block(x, cab, w):
     """jnp reference of the fused region: x, cab [nb, N, C] bf16."""
     nb = x.shape[0]
@@ -99,11 +120,11 @@ def ref_block(x, cab, w):
     y = _ln(xf, w["ln1_s"], w["ln1_b"]).astype(x.dtype)
     toks = y.reshape(nb * N, C)
     q = (jnp.dot(toks, w["wq"], preferred_element_type=jnp.float32)
-         + w["bqkv"][:, :C]).astype(x.dtype)
+         + w["bq"]).astype(x.dtype)
     k = (jnp.dot(toks, w["wk"], preferred_element_type=jnp.float32)
-         + w["bqkv"][:, C:2 * C]).astype(x.dtype)
+         + w["bk"]).astype(x.dtype)
     v = (jnp.dot(toks, w["wv"], preferred_element_type=jnp.float32)
-         + w["bqkv"][:, 2 * C:]).astype(x.dtype)
+         + w["bv"]).astype(x.dtype)
     from superresolution_tpu.ops.pallas_attn import (
         reference_window_attention)
 
@@ -124,7 +145,8 @@ def ref_block(x, cab, w):
     return x1 + o
 
 
-def _fused_kernel(x_ref, cab_ref, wq_ref, wk_ref, wv_ref, bqkv_ref,
+def _fused_kernel(x_ref, cab_ref, wq_ref, wk_ref, wv_ref,
+                  bq_ref, bk_ref, bv_ref,
                   rpb_ref, wp_ref, bp_ref, ln1s_ref, ln1b_ref, ln2s_ref,
                   ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
                   attn_scratch, *, nw, scale):
@@ -133,11 +155,11 @@ def _fused_kernel(x_ref, cab_ref, wq_ref, wk_ref, wv_ref, bqkv_ref,
     xf = x.astype(jnp.float32)
     y = _ln(xf, ln1s_ref[:], ln1b_ref[:]).astype(x.dtype)
     q = (jnp.dot(y, wq_ref[:], preferred_element_type=jnp.float32)
-         + bqkv_ref[:, :C]).astype(x.dtype)
+         + bq_ref[:]).astype(x.dtype)
     k = (jnp.dot(y, wk_ref[:], preferred_element_type=jnp.float32)
-         + bqkv_ref[:, C:2 * C]).astype(x.dtype)
+         + bk_ref[:]).astype(x.dtype)
     v = (jnp.dot(y, wv_ref[:], preferred_element_type=jnp.float32)
-         + bqkv_ref[:, 2 * C:]).astype(x.dtype)
+         + bv_ref[:]).astype(x.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) // HD
     for w in range(nw):
         qw = q[w * N:(w + 1) * N]
@@ -162,7 +184,7 @@ def _fused_kernel(x_ref, cab_ref, wq_ref, wk_ref, wv_ref, bqkv_ref,
     x1 = x + proj + cab_ref[:].reshape(m_tok, C)
     z = _ln(x1.astype(jnp.float32), ln2s_ref[:], ln2b_ref[:]).astype(x.dtype)
     h = jnp.dot(z, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
-    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    h = _gelu_exact(h).astype(x.dtype)
     o = (jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
          + b2_ref[:]).astype(x.dtype)
     out_ref[:] = (x1 + o).reshape(nw, N, C)
@@ -184,7 +206,8 @@ def fused_block(x, cab, w, nw=8):
         grid=(nb // nw,),
         in_specs=[xspec, xspec,
                   const((C, C)), const((C, C)), const((C, C)),
-                  const((1, 3 * C)), const((NH, N, N)),
+                  const((1, C)), const((1, C)), const((1, C)),
+                  const((NH, N, N)),
                   const((C, C)), const((1, C)),
                   const((1, C)), const((1, C)), const((1, C)),
                   const((1, C)),
@@ -193,7 +216,7 @@ def fused_block(x, cab, w, nw=8):
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((nw * N, C), x.dtype)],
-    )(x, cab, w["wq"], w["wk"], w["wv"], w["bqkv"], w["rpb"], w["wp"],
+    )(x, cab, w["wq"], w["wk"], w["wv"], w["bq"], w["bk"], w["bv"], w["rpb"], w["wp"],
       w["bp"], w["ln1_s"], w["ln1_b"], w["ln2_s"], w["ln2_b"], w["w1"],
       w["b1"], w["w2"], w["b2"])
 

@@ -54,18 +54,41 @@ def main():
     params = policy.cast_to_compute(params)
     mp_in = batch * 128 * 128 / 1e6
 
-    for name, attn_f32, flash in (("flash", False, True),
-                                  ("bf16_logits", False, False)):
-        model = build(attn_f32, flash)
+    # fused mode: stage1 standard apply + deploy-time fused HAT stage 2 +
+    # the HybridSR smoothing contract replicated (models/hybrid.py)
+    from superresolution_tpu.infer.fused_hat import make_fused_hat
+    from superresolution_tpu.ops.blur import anti_checkerboard
+
+    base_flash = build(False, True)
+    s2_params = {"params": params["params"]["stage2"]}
+    fused_s2 = make_fused_hat(s2_params, base_flash.stage2)
+    s1 = base_flash.stage1
+
+    def fused_apply(v):
+        y = s1.apply({"params": params["params"]["stage1"]}, v)
+        y = anti_checkerboard(y, "balanced")
+        y = fused_s2(y)
+        y = anti_checkerboard(y, "balanced")
+        return anti_checkerboard(y, "light")
+
+    modes = [("fused", None, None), ("flash", False, True),
+             ("bf16_logits", False, False)]
+    for name, attn_f32, flash in modes:
+        if name == "fused":
+            apply_fn = fused_apply
+        else:
+            model = build(attn_f32, flash)
+            apply_fn = (lambda v, model=model:
+                        model.apply(params, v))
 
         @jax.jit
-        def step(x, model=model):
-            return model.apply(params, x.astype(jnp.bfloat16))
+        def step(x, apply_fn=apply_fn):
+            return apply_fn(x.astype(jnp.bfloat16))
 
         @jax.jit
-        def chained(x, iters=10, model=model):
+        def chained(x, iters=10, apply_fn=apply_fn):
             def body(_, v):
-                y = model.apply(params, v.astype(jnp.bfloat16))
+                y = apply_fn(v.astype(jnp.bfloat16))
                 # chain: fold the 512^2 output back to a 128^2 input
                 v2 = y[:, ::4, ::4, :].astype(v.dtype)
                 return v2

@@ -143,6 +143,17 @@ def cmd_upscale(args):
             # (the fixed-resize slot only applies to whole-patch training)
             model = build_from_config(mcfg, output_size=None)
             scale = total_scale(mcfg)
+            if args.fast_attn and mc.get("refiner") == "hat_lite":
+                # deploy-time fused HAB kernels (ops/pallas_hab.py): the
+                # whole attention-block body runs in VMEM — measured 3x
+                # per block vs the XLA path (BENCHMARKS.md)
+                from superresolution_tpu.infer.fused_hat import (
+                    fused_hybrid_model)
+
+                try:
+                    model = fused_hybrid_model(params, model)
+                except ValueError:
+                    pass  # unsupported layout: keep the flash-attn path
     out = upscale(img, scale=scale, model=model, params=params,
                   tile=args.tile, halo=args.halo, blend=args.blend)
     if args.output.endswith((".tif", ".tiff")) and out.shape[-1] == 1:

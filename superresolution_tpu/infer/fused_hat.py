@@ -1,0 +1,286 @@
+"""Deploy-time fused HATLite inference — HAB blocks run as ONE Pallas
+program each (ops/pallas_hab.py), everything else as param-apply XLA.
+
+Like infer/folded_tail.py, this is a deployment rewrite over the SAME
+checkpoint: `make_fused_hat(variables, model)` reads the flax param tree
+directly and returns an apply-equivalent function. No parameter
+conversion; outputs match `model.apply` to bf16 accuracy
+(tests/test_fused_hat.py proves equivalence in interpret mode).
+
+Measured on the hybrid workload: each HAB block drops from ~13 ms (XLA,
+f32-logits parity path) to ~4.4 ms (benchmarks/exp_r3_fused_hab.py) —
+the stage's K=96 dense round-trips collapse into VMEM-resident compute.
+
+Supported layout: the production HATLite configuration — scan_blocks
+with uniform groups and even depths (all presets), with or without
+hat_compat (reference-checkpoint import mode).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from superresolution_tpu.models.hat_lite import (
+    HATLite,
+    _relative_position_index,
+    _relative_position_index_oca,
+    _shift_region_ids,
+    window_merge,
+    window_partition,
+)
+from superresolution_tpu.ops.pallas_hab import fused_hab_block
+from superresolution_tpu.ops.pixel_shuffle import depth_to_space
+
+_EPS = 1e-5
+
+
+def _conv(x, cp, padding="SAME"):
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(cp["kernel"], x.dtype), (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.asarray(cp["bias"], x.dtype)
+
+
+def _dense(x, dp):
+    y = jnp.dot(x, jnp.asarray(dp["kernel"], x.dtype),
+                preferred_element_type=jnp.float32)
+    return (y + jnp.asarray(dp["bias"], jnp.float32)).astype(x.dtype)
+
+
+def _ln(x, lp):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    y = (xf - mu) * jax.lax.rsqrt(var + _EPS)
+    return (y * jnp.asarray(lp["scale"], jnp.float32)
+            + jnp.asarray(lp["bias"], jnp.float32)).astype(x.dtype)
+
+
+def _cab(x, cp):
+    """ChannelAttentionBlock math (models/hat_lite.py)."""
+    y = _conv(x, cp["Conv_0"]["Conv_0"])
+    y = jax.nn.gelu(y, approximate=False)
+    y = _conv(y, cp["Conv_1"]["Conv_0"])
+    s = jnp.mean(y, axis=(1, 2), keepdims=True)
+    s = jax.nn.relu(_dense(s, cp["Dense_0"]))
+    s = jax.nn.sigmoid(_dense(s, cp["Dense_1"]))
+    return y * s
+
+
+def _wa_weights(hp, nh, ws, dtype):
+    """HABlock params -> the fused kernel's weight dict."""
+    wa = hp["WindowAttention_0"]
+    n = ws * ws
+    qkv_k = jnp.asarray(wa["Dense_0"]["kernel"], dtype)  # [C, 3C]
+    c = qkv_k.shape[0]
+    table = jnp.asarray(wa["rel_pos_bias"], jnp.float32)
+    idx = jnp.asarray(_relative_position_index(ws))
+    rpb = table[idx.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
+    bqkv = jnp.asarray(wa["Dense_0"]["bias"], jnp.float32).reshape(3 * c)
+    return {
+        "ln1_s": jnp.asarray(hp["LayerNorm_0"]["scale"],
+                             jnp.float32).reshape(1, c),
+        "ln1_b": jnp.asarray(hp["LayerNorm_0"]["bias"],
+                             jnp.float32).reshape(1, c),
+        "wq": qkv_k[:, :c], "wk": qkv_k[:, c:2 * c], "wv": qkv_k[:, 2 * c:],
+        "bq": bqkv[:c].reshape(1, c), "bk": bqkv[c:2 * c].reshape(1, c),
+        "bv": bqkv[2 * c:].reshape(1, c),
+        "rpb": rpb,
+        "wp": jnp.asarray(wa["Dense_1"]["kernel"], dtype),
+        "bp": jnp.asarray(wa["Dense_1"]["bias"], jnp.float32).reshape(1, c),
+        "ln2_s": jnp.asarray(hp["LayerNorm_1"]["scale"],
+                             jnp.float32).reshape(1, c),
+        "ln2_b": jnp.asarray(hp["LayerNorm_1"]["bias"],
+                             jnp.float32).reshape(1, c),
+        "w1": jnp.asarray(hp["Dense_0"]["kernel"], dtype),
+        "b1": jnp.asarray(hp["Dense_0"]["bias"],
+                          jnp.float32).reshape(1, -1),
+        "w2": jnp.asarray(hp["Dense_1"]["kernel"], dtype),
+        "b2": jnp.asarray(hp["Dense_1"]["bias"],
+                          jnp.float32).reshape(1, -1),
+    }
+
+
+def _hab(x, hp, *, shift, ws, nh, conv_scale, interpret):
+    b, h, w, c = x.shape
+    y_ln = _ln(x, hp["LayerNorm_0"])
+    cab = _cab(y_ln, hp["ChannelAttentionBlock_0"])
+    cab = cab * jnp.asarray(conv_scale, x.dtype)
+    if shift:
+        xs = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        cabs = jnp.roll(cab, (-shift, -shift), axis=(1, 2))
+        ids = jnp.asarray(_shift_region_ids(h, w, ws, shift))
+    else:
+        xs, cabs, ids = x, cab, None
+    x_wins = window_partition(xs, ws)
+    cab_wins = window_partition(cabs, ws)
+    weights = _wa_weights(hp, nh, ws, x.dtype)
+    out_wins = fused_hab_block(x_wins, cab_wins, nh, interpret, weights,
+                               ids)
+    out = window_merge(out_wins, ws, (h, w))
+    if shift:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    return out
+
+
+def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb):
+    """OverlappingCrossAttention einsum path on raw params (kept in XLA:
+    the cross-attn kernel measured slower at ws=8 — models/hat_lite.py)."""
+    b, h, w, c = x.shape
+    ows = int(ws * (1 + overlap_ratio))
+    pad = (ows - ws) // 2
+    hd = c // nh
+    y = _ln(x, op["LayerNorm_0"])
+    q = window_partition(y, ws)
+    kv = _dense(y, op["Dense_0"])
+    kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    nh_w, nw_w = h // ws, w // ws
+    patches = []
+    for di in range(ows):
+        rows = kv[:, di::ws][:, :nh_w]
+        for dj in range(ows):
+            cols = rows[:, :, dj::ws][:, :, :nw_w]
+            patches.append(cols)
+    kvw = jnp.stack(patches, axis=3).reshape(b * nh_w * nw_w, ows * ows,
+                                             2 * c)
+    k, v = jnp.split(kvw, 2, axis=-1)
+    qd = _dense(q, op["Dense_1"])
+    qh = qd.reshape(-1, ws * ws, nh, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
+    scale = jnp.asarray(hd, jnp.float32) ** -0.5
+    attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
+                      preferred_element_type=jnp.float32) * scale
+    if use_rpb:
+        table = jnp.asarray(op["rel_pos_bias_oca"], jnp.float32)
+        idx = jnp.asarray(_relative_position_index_oca(ws, ows))
+        bias = table[idx.reshape(-1)].reshape(
+            ws * ws, ows * ows, nh).transpose(2, 0, 1)
+        attn = attn + bias[None]
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
+    out = _dense(out, op["Dense_2"])
+    y = window_merge(out, ws, (h, w))
+    x = x + y
+    z = _ln(x, op["LayerNorm_1"])
+    z = _dense(z, op["Dense_3"])
+    z = jax.nn.gelu(z, approximate=False).astype(x.dtype)
+    return x + _dense(z, op["Dense_4"])
+
+
+def make_fused_hat(variables, model: HATLite):
+    """Build apply_fn(x [B,H,W,Cin]) -> [B, H*scale, W*scale, Cout]
+    equivalent to model.apply(variables, x), with fused HAB kernels."""
+    if not model.scan_blocks:
+        raise ValueError("fused HAT requires scan_blocks=True")
+    depths, heads = model.depths, model.num_heads
+    if len(set(depths)) != 1 or len(set(heads)) != 1 or len(depths) < 2:
+        raise ValueError("fused HAT requires uniform groups (scan layout)")
+    if depths[0] % 2:
+        raise ValueError("fused HAT requires even group depth")
+    p = variables["params"] if "params" in variables else variables
+    ws = model.window_size
+    nh = heads[0]
+    pairs = depths[0] // 2
+    conv_scale = model.conv_scale
+    overlap = model.overlap_ratio
+    compat = model.hat_compat
+    scale = model.scale
+
+    def apply_fn(x):
+        interpret = jax.default_backend() != "tpu"
+        b, h0, w0, _ = x.shape
+        ph = (ws - h0 % ws) % ws
+        pw = (ws - w0 % ws) % ws
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        feat = _conv(x, p["Conv_0"]["Conv_0"])
+        y = feat
+        if compat:
+            y = _ln(y, p["norm_embed"])
+
+        def group_body(y, gp_s):
+            gp = gp_s["ResidualGroup_0"]
+            y0 = y
+
+            def pair_body(y, pp):
+                y = _hab(y, pp["HABlock_0"], shift=0, ws=ws, nh=nh,
+                         conv_scale=conv_scale, interpret=interpret)
+                y = _hab(y, pp["HABlock_1"], shift=ws // 2, ws=ws, nh=nh,
+                         conv_scale=conv_scale, interpret=interpret)
+                return y, None
+
+            y, _ = jax.lax.scan(pair_body, y, gp["hab_pairs"])
+            y = _ocab(y, gp["OverlappingCrossAttention_0"], ws=ws, nh=nh,
+                      overlap_ratio=overlap, use_rpb=compat)
+            return y0 + _conv(y, gp["Conv_0"]["Conv_0"]), None
+
+        y, _ = jax.lax.scan(group_body, y, p["groups"])
+        if compat:
+            y = _ln(y, p["norm_body"])
+        y = _conv(y, p["Conv_1"]["Conv_0"]) + feat
+        if compat:
+            y = _conv(y, p["conv_before_upsample"]["Conv_0"])
+            y = jnp.where(y >= 0, y, jnp.asarray(0.01, y.dtype) * y)
+        # PixelShuffleUpsampler stages (models/common.py)
+        up = p["PixelShuffleUpsampler_0"]
+        stages = {1: (), 2: (2,), 3: (3,), 4: (2, 2), 8: (2, 2, 2)}[scale]
+        for i, r in enumerate(stages):
+            y = _conv(y, up[f"Conv_{i}"]["Conv_0"])
+            y = depth_to_space(y, r)
+        y = _conv(y, p["Conv_2"]["Conv_0"])
+        if ph or pw:
+            y = y[:, : h0 * scale, : w0 * scale]
+        return y
+
+    return apply_fn
+
+
+class _PreboundModel:
+    """Duck-typed 'model' for infer.upscale: .apply ignores the passed
+    variables (weights are pre-bound and cast per input dtype)."""
+
+    def __init__(self, apply_fn):
+        self._fn = apply_fn
+
+    def apply(self, _variables, x):
+        return self._fn(x)
+
+
+def fused_hybrid_model(variables, model):
+    """HybridSR with a HATLite stage 2 -> a pre-bound model whose stage-2
+    HAB blocks run as fused Pallas kernels. Replicates the HybridSR
+    forward contract (models/hybrid.py: stage1 -> smooth -> stage2 ->
+    smooth -> resize-to-output -> light smooth). Raises ValueError for
+    layouts make_fused_hat does not support."""
+    from superresolution_tpu.models.hat_lite import HATLite as _HAT
+    from superresolution_tpu.ops.blur import anti_checkerboard
+    from superresolution_tpu.ops.resize import resize_bicubic
+
+    if model.stage2 is None or not isinstance(model.stage2, _HAT):
+        raise ValueError("fused hybrid requires a HATLite stage 2")
+    p = variables["params"] if "params" in variables else variables
+    fused_s2 = make_fused_hat({"params": p["stage2"]}, model.stage2)
+    s1 = model.stage1
+    smoothing = model.smoothing
+    output_size = model.output_size
+
+    def apply_fn(x):
+        y = s1.apply({"params": p["stage1"]}, x)
+        if smoothing:
+            y = anti_checkerboard(y, smoothing)
+        y = fused_s2(y)
+        if smoothing:
+            y = anti_checkerboard(y, smoothing)
+        if output_size and y.shape[1] != output_size:
+            y = resize_bicubic(y, (output_size, output_size), a=-0.75,
+                               antialias=False)
+        if smoothing:
+            y = anti_checkerboard(y, "light")
+        return y
+
+    return _PreboundModel(apply_fn)

@@ -92,6 +92,21 @@ def test_flash_cross_attention_matches_reference():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_flash_h200_geometry():
+    """The Backup 'H200' config shape class: window 16 (n=256), embed 120
+    (head dim 20 — not a lane divisor), 6 heads."""
+    nb, n, c, nh = 2, 256, 120, 6
+    ks = jax.random.split(jax.random.key(5), 4)
+    q = jax.random.normal(ks[0], (nb, n, c), jnp.float32)
+    k = jax.random.normal(ks[1], (nb, n, c), jnp.float32)
+    v = jax.random.normal(ks[2], (nb, n, c), jnp.float32)
+    bias = jax.random.normal(ks[3], (nh, n, n), jnp.float32) * 0.1
+    ref = reference_window_attention(q, k, v, bias)
+    got = flash_window_attention(q, k, v, bias, nh, True, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_hatlite_flash_matches_einsum_path():
     """HATLite end-to-end: flash_attn=True must reproduce the einsum path
     (both f32 logits) on the same params."""
