@@ -59,9 +59,15 @@ def main() -> None:
     params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     params = policy.cast_to_compute(params)  # weights resident in bf16
 
+    # fused dense-block trunk: every 5-conv RRDB dense block runs as ONE
+    # Pallas program (ops/pallas_dense_trunk.py) — 1.17x the XLA trunk
+    # (1495 ms vs 1746 ms on this tile batch; BENCHMARKS.md r3)
+    from superresolution_tpu.infer.fused_trunk import make_fused_trunk
+
+    fused_trunk = make_fused_trunk(params, model)
+
     def trunk_fn(x):
-        return model.apply(params, x.astype(policy.compute_dtype),
-                           method="trunk")
+        return fused_trunk(x.astype(policy.compute_dtype))
 
     # deploy-time folded tail: the two depth_to_space layout copies
     # collapse into one final interleave and the stage-2 conv runs at LR
@@ -99,9 +105,11 @@ def main() -> None:
     mp = h * w / 1e6
     value = mp / dt  # single chip
     # model cost: ~35.8 TFLOPs per input MP (BENCHMARKS.md derivation);
-    # MFU is reported against BOTH the chip's nominal 197 bf16 TF/s and
-    # the measured ~42 TF/s XLA rate for this conv mix (benchmarks/
-    # exp_r2_trunk.py) — the honest end-to-end efficiency picture.
+    # MFU is reported against the chip's nominal 197 bf16 TF/s and
+    # against the XLA-convolution trunk rate this bench used before the
+    # fused dense-block kernel (42.4 TF/s, benchmarks/exp_r2_trunk.py —
+    # a floor the r3 kernel now beats, not a ceiling: exp_r4c showed it
+    # was a per-conv HBM round-trip bound, not an MXU limit).
     tflops_per_mp = 35.8
     print(json.dumps({
         "metric": "input megapixels/sec/chip, ESRGAN RRDB x4 tiled 2K inference",
@@ -109,7 +117,7 @@ def main() -> None:
         "unit": "MP/s/chip",
         "vs_baseline": round(value / REF_GPU_MPS_X4, 3),
         "mfu_vs_nominal_197tf": round(value * tflops_per_mp / 197.0, 3),
-        "mfu_vs_measured_conv_envelope_42tf": round(
+        "vs_r2_xla_conv_envelope_42tf": round(
             value * tflops_per_mp / 42.4, 3),
     }))
 

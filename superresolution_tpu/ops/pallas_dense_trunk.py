@@ -1,0 +1,217 @@
+"""Fused RRDB dense-block kernel — the trunk's 5-conv dense block as ONE
+Pallas program ('roll-conv', projection layout).
+
+Why (measured, benchmarks/exp_r4c/r4d/r5c/r5e): XLA's conv3x3 at the
+trunk's widths is bound by per-conv HBM round trips (~39 TF/s useful on
+the dense block), while Mosaic dots on VMEM-resident data run at
+100-198 TF/s when K>=96 and N>=64. Fusing the whole block leaves one
+HBM read of x and one write of the residual output; the projection
+layout (models/rrdbnet.py FusedDenseBlock) keeps every dot in the fast
+shape class:
+
+    px: K=192 N=4g+c    p_i: K=96 N=(4-i)g+c     (g=32, c=64)
+
+Per conv (3x3 SAME), at p=1 (no pixel packing):
+  lhs  = lane-concat of the 3 dy row-slices of the input   [mo, 3*cin]
+  A/B/C = dx=0 / dx=-1 / dx=+1 taps stacked by dy          [3*cin, n]
+  out  = lhs@A + roll(lhs@B, +1) + roll(lhs@C, -1)
+
+W is padded with 8 zero columns each side (pad_l = pad_r = 8, total
+width a multiple of 16 so every dy slice offset stays bf16-tile
+aligned). EVERY conv output is masked (pad columns + out-of-image
+rows): the reference's SAME convs zero-pad each INTERMEDIATE, and a
+conv evaluated at a pad column adjacent to the image reads real pixels
+through its taps — so a single-mask shortcut is wrong in a 4-px border
+(measured 1e-4 edge error; tests/test_fused_trunk.py locks the exact
+version). Masks run in bf16 AFTER the accumulate cast (identical
+result, half the bytes and VMEM).
+
+The 5 convs cascade over a 5-row halo each side ((rb+10) -> rb rows per
+grid block; FLOP overhead 1 + 4/rb — pick the largest rb that divides H
+and fits VMEM). Requires vmem_limit_bytes raised past the 16 MB
+compiler default (the v5e's physical VMEM is larger; measured working
+at rb=56, wp=432).
+
+Mosaic constraints respected (each cost a debug round): no cmpf on
+packed bf16 (lrelu is max/min), no bf16 tpu.matmul output (dots emit
+f32), no bf16 dynamic_rotate (rolls stay f32), python-unrolled loops
+do not reuse scoped stack (whole-stage bodies, no chunk loops).
+
+Capability parity: BasicSR RRDB dense block (reference
+src/architecture.py:38-43); exact math of FusedDenseBlock
+(models/rrdbnet.py) up to one f.p. reassociation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 5  # 5 chained 3x3 convs
+PAD = 8   # zero columns each side; must stay > HALO for wrap confinement
+
+
+def pack_width(width: int) -> int:
+    """Padded width: PAD zero cols each side, multiple of 16."""
+    return -(-(width + 2 * PAD) // 16) * 16
+
+
+def pack(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,H,Wp,C] with zeroed pad columns."""
+    wp = pack_width(x.shape[2])
+    return jnp.pad(x, ((0, 0), (0, 0), (PAD, wp - x.shape[2] - PAD),
+                       (0, 0)))
+
+
+def unpack(xp: jnp.ndarray, width: int) -> jnp.ndarray:
+    return xp[:, :, PAD:PAD + width]
+
+
+def pick_rb(h: int, wp: int, budget_rows: int = 28512) -> int:
+    """Largest divisor of h whose (rb+10)*wp stays within the measured
+    VMEM-safe row budget (rb=56 x wp=432 works; scale by wp)."""
+    cap = max(1, budget_rows // wp - 2 * HALO)
+    best = 1
+    for rb in range(1, h + 1):
+        if h % rb == 0 and rb <= cap:
+            best = rb
+    return best
+
+
+def proj_weights(dense_params, dtype=jnp.bfloat16):
+    """FusedDenseBlock param subtree -> kernel weight list.
+
+    dense_params: FusedDenseBlock subtree — {'Conv_0': {'Conv_0':
+    {'kernel' [3,3,c,4g+c], 'bias'}}, 'proj_y1'..'proj_y4':
+    {'kernel' [3,3,g,(4-i)g+c]}} (models/rrdbnet.py)
+    Returns [A_px, B_px, C_px, bias_px, A_1, B_1, C_1, ..., C_4] with
+    A/B/C = [3*cin, n] dy-major stacks of the dx=0/-1/+1 taps.
+    """
+    out = []
+    px = dense_params["Conv_0"]["Conv_0"]
+    kernels = [np.asarray(px["kernel"], np.float32)]
+    for i in range(1, 5):
+        kernels.append(np.asarray(dense_params[f"proj_y{i}"]["kernel"],
+                                  np.float32))
+    for j, w in enumerate(kernels):
+        cin, n = w.shape[2], w.shape[3]
+        for dx in (1, 0, 2):
+            out.append(jnp.asarray(w[:, dx].reshape(3 * cin, n), dtype))
+        if j == 0:
+            out.append(jnp.asarray(
+                np.asarray(px["bias"], np.float32).reshape(1, n),
+                jnp.float32))
+    return out
+
+
+def _lrelu(x):
+    # max/min form: Mosaic rejects cmpf on packed bf16 vectors
+    return (jnp.maximum(x, jnp.asarray(0, x.dtype))
+            + jnp.asarray(0.2, x.dtype)
+            * jnp.minimum(x, jnp.asarray(0, x.dtype)))
+
+
+def _kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref=None,
+            rb, wp, width, nb, h_img, g, c):
+    (a_px, b_px, c_px, bias_px,
+     a_1, b_1, c_1, a_2, b_2, c_2, a_3, b_3, c_3, a_4, b_4, c_4) = w_refs
+    row_start = (pl.program_id(0) % nb) * rb
+
+    top = top_ref[0].reshape(HALO * wp, c)
+    mid = mid_ref[0].reshape(rb * wp, c)
+    bot = bot_ref[0].reshape(HALO * wp, c)
+    xf = jnp.concatenate([top, mid, bot], axis=0)
+
+    def rconv(u, a, b, cm, mask_k, bias=None):
+        mu = u.shape[0]
+        mo = mu - 2 * wp
+        lhs = jnp.concatenate(
+            [u[0:mo], u[wp:wp + mo], u[2 * wp:2 * wp + mo]], axis=1)
+        acc = jnp.dot(lhs, a[:], preferred_element_type=jnp.float32)
+        if bias is not None:
+            acc = acc + bias[:]
+        pb = jnp.dot(lhs, b[:], preferred_element_type=jnp.float32)
+        acc = acc + pltpu.roll(pb, 1, 0)
+        pc = jnp.dot(lhs, cm[:], preferred_element_type=jnp.float32)
+        acc = acc + pltpu.roll(pc, mo - 1, 0)
+        out = acc.astype(u.dtype)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (mo, 1), 0)
+        cp = idx % wp
+        r_img = row_start - HALO + mask_k + idx // wp
+        ok = ((cp >= PAD) & (cp < PAD + width)
+              & (r_img >= 0) & (r_img < h_img))
+        return jnp.where(ok, out, jnp.asarray(0, out.dtype))
+
+    px = rconv(xf, a_px, b_px, c_px, 1, bias_px)
+    ps = []  # p1..p4 outputs
+    ys = [_lrelu(px[:, 0:g])]
+    pw = [(a_1, b_1, c_1), (a_2, b_2, c_2), (a_3, b_3, c_3),
+          (a_4, b_4, c_4)]
+    for i in range(1, 5):
+        p_i = rconv(ys[-1], *pw[i - 1], i + 1)
+        ps.append(p_i)
+        m = p_i.shape[0]
+        if i < 4:
+            pre = px[i * wp:i * wp + m, i * g:(i + 1) * g]
+            for j in range(1, i + 1):
+                pre = pre + ps[j - 1][(i - j) * wp:(i - j) * wp + m,
+                                      (i - j) * g:(i - j + 1) * g]
+            ys.append(_lrelu(pre))
+    mo = ps[-1].shape[0]
+    acc = px[4 * wp:4 * wp + mo, 4 * g:]
+    for j in range(1, 5):
+        acc = acc + ps[j - 1][(4 - j) * wp:(4 - j) * wp + mo, (4 - j) * g:]
+    xc = xf[HALO * wp:HALO * wp + mo]
+    out = xc + acc * jnp.asarray(0.2, xc.dtype)
+    out_ref[0] = out.reshape(rb, wp, c)
+
+
+def fused_dense_block(xp, weights, *, width, rb=None, interpret=False):
+    """One dense block WITH its residual on packed input.
+
+    xp: [B, H, Wp, C] (from `pack`, zero pad cols); weights: flat list
+    from `proj_weights`. Returns [B, H, Wp, C].
+    """
+    b, h, wp, c = xp.shape
+    g = weights[4].shape[0] // 3  # A_1 is [3*g, ...]
+    if rb is None:
+        rb = pick_rb(h, wp)
+    nb = h // rb
+    xh = jnp.pad(xp, ((0, 0), (HALO, HALO), (0, 0), (0, 0)))
+    mid = xh[:, HALO:HALO + h].reshape(b * nb, rb, wp, c)
+    tops = jnp.stack([xh[:, i * rb:i * rb + HALO] for i in range(nb)],
+                     axis=1).reshape(b * nb, HALO, wp, c)
+    bots = jnp.stack(
+        [xh[:, HALO + (i + 1) * rb:2 * HALO + (i + 1) * rb]
+         for i in range(nb)], axis=1).reshape(b * nb, HALO, wp, c)
+    spec_mid = pl.BlockSpec((1, rb, wp, c), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_edge = pl.BlockSpec((1, HALO, wp, c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def cw(t):
+        return pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        *ins, out = refs
+        _kernel(*ins, out_ref=out, rb=rb, wp=wp, width=width, nb=nb,
+                h_img=h, g=g, c=c)
+
+    out = pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        grid=(b * nb,),
+        in_specs=[spec_edge, spec_mid, spec_edge]
+        + [cw(t) for t in weights],
+        out_specs=spec_mid,
+        out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp, c), xp.dtype),
+        interpret=interpret,
+    )(tops, mid, bots, *weights)
+    return out.reshape(b, h, wp, c)

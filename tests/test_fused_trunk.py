@@ -1,0 +1,87 @@
+"""Deploy-time fused RRDB trunk (infer/fused_trunk.py +
+ops/pallas_dense_trunk.py) must reproduce RRDBNet.trunk on the same
+variables. Interpreter-mode Pallas on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superresolution_tpu.infer.fused_trunk import make_fused_trunk
+from superresolution_tpu.models import RRDBNet
+from superresolution_tpu.ops.pallas_dense_trunk import (
+    fused_dense_block,
+    pack,
+    pick_rb,
+    pack_width,
+    proj_weights,
+    unpack,
+)
+
+
+def _small_net(**kw):
+    args = dict(scale=4, in_channels=3, out_channels=3, features=16,
+                num_blocks=2, growth=8, upsampler="pixelshuffle",
+                scan_blocks=True)
+    args.update(kw)
+    return RRDBNet(**args)
+
+
+def test_fused_trunk_matches_apply():
+    model = _small_net()
+    x = jax.random.normal(jax.random.key(0), (2, 24, 20, 3), jnp.float32)
+    variables = model.init(jax.random.key(1), x)
+    ref = model.apply(variables, x, method="trunk")
+    trunk = make_fused_trunk(variables, model, interpret=True)
+    got = trunk(x)
+    assert got.shape == ref.shape
+    # fused path computes in bf16 (the deploy dtype)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+
+
+def test_fused_trunk_pixel_unshuffle():
+    model = _small_net(scale=2, pixel_unshuffle_input=2, in_channels=1,
+                       out_channels=1)
+    x = jax.random.normal(jax.random.key(2), (1, 16, 16, 1), jnp.float32)
+    variables = model.init(jax.random.key(3), x)
+    ref = model.apply(variables, x, method="trunk")
+    got = make_fused_trunk(variables, model, interpret=True)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+
+
+def test_fused_dense_block_exact_and_chains():
+    """Single dense block matches FusedDenseBlock bit-for-bit at f32
+    tolerance, and TWO chained fused blocks equal two XLA blocks — the
+    single-px-mask invariant (pad garbage never leaks into real pixels)."""
+    from superresolution_tpu.models.rrdbnet import FusedDenseBlock
+
+    block = FusedDenseBlock(features=16, growth=8)
+    x = jax.random.normal(jax.random.key(4), (1, 16, 20, 16), jnp.float32)
+    variables = block.init(jax.random.key(5), x)
+    dp = variables["params"]
+    w = proj_weights(dp, dtype=jnp.float32)
+    ref1 = block.apply(variables, x)
+    ref2 = block.apply(variables, ref1)
+    xp = pack(x)
+    got1 = fused_dense_block(xp, w, width=20, rb=8, interpret=True)
+    got2 = fused_dense_block(got1, w, width=20, rb=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack(got1, 20)),
+                               np.asarray(ref1), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(unpack(got2, 20)),
+                               np.asarray(ref2), atol=1e-4, rtol=1e-4)
+
+
+def test_pick_rb():
+    assert pick_rb(376, pack_width(400)) == 47
+    assert pick_rb(392, pack_width(416)) == 56
+    assert 128 % pick_rb(128, pack_width(128)) == 0
+
+
+def test_fused_trunk_rejects_unrolled_layout():
+    model = _small_net(scan_blocks=False)
+    x = jnp.zeros((1, 8, 8, 3))
+    variables = _small_net().init(jax.random.key(0), x)
+    with pytest.raises(ValueError):
+        make_fused_trunk(variables, model)
