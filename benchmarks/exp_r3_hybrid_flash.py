@@ -54,22 +54,15 @@ def main():
     params = policy.cast_to_compute(params)
     mp_in = batch * 128 * 128 / 1e6
 
-    # fused mode: stage1 standard apply + deploy-time fused HAT stage 2 +
-    # the HybridSR smoothing contract replicated (models/hybrid.py)
-    from superresolution_tpu.infer.fused_hat import make_fused_hat
-    from superresolution_tpu.ops.blur import anti_checkerboard
+    # fused mode: the full deploy rewrite (infer/fused_hat.py) — fused
+    # dense-block stage-1 trunk + fused HAB stage 2
+    from superresolution_tpu.infer.fused_hat import fused_hybrid_model
 
     base_flash = build(False, True)
-    s2_params = {"params": params["params"]["stage2"]}
-    fused_s2 = make_fused_hat(s2_params, base_flash.stage2)
-    s1 = base_flash.stage1
+    fused_model = fused_hybrid_model(params, base_flash)
 
     def fused_apply(v):
-        y = s1.apply({"params": params["params"]["stage1"]}, v)
-        y = anti_checkerboard(y, "balanced")
-        y = fused_s2(y)
-        y = anti_checkerboard(y, "balanced")
-        return anti_checkerboard(y, "light")
+        return fused_model.apply(None, v)
 
     modes = [("fused", None, None), ("flash", False, True),
              ("bf16_logits", False, False)]

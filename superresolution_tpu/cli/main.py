@@ -144,9 +144,10 @@ def cmd_upscale(args):
             model = build_from_config(mcfg, output_size=None)
             scale = total_scale(mcfg)
             if args.fast_attn and mc.get("refiner") == "hat_lite":
-                # deploy-time fused HAB kernels (ops/pallas_hab.py): the
-                # whole attention-block body runs in VMEM — measured 3x
-                # per block vs the XLA path (BENCHMARKS.md)
+                # deploy-time fused kernels: HAB blocks in one VMEM
+                # program each (ops/pallas_hab.py, 3x per block) and the
+                # RRDB stage-1 trunk as fused dense blocks
+                # (ops/pallas_dense_trunk.py) — BENCHMARKS.md
                 from superresolution_tpu.infer.fused_hat import (
                     fused_hybrid_model)
 
@@ -154,6 +155,16 @@ def cmd_upscale(args):
                     model = fused_hybrid_model(params, model)
                 except ValueError:
                     pass  # unsupported layout: keep the flash-attn path
+            elif (args.fast_attn and mc.get("name") == "rrdbnet"
+                  and not mc.get("refiner")):
+                # plain ESRGAN generator: fused dense-block trunk
+                from superresolution_tpu.infer.fused_trunk import (
+                    fused_rrdb_model)
+
+                try:
+                    model = fused_rrdb_model(params, model)
+                except (ValueError, KeyError):
+                    pass  # unsupported layout: standard apply
     out = upscale(img, scale=scale, model=model, params=params,
                   tile=args.tile, halo=args.halo, blend=args.blend)
     if args.output.endswith((".tif", ".tiff")) and out.shape[-1] == 1:

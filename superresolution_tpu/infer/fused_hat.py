@@ -269,8 +269,25 @@ def fused_hybrid_model(variables, model):
     smoothing = model.smoothing
     output_size = model.output_size
 
+    # stage 1: fused dense-block trunk when the layout supports it
+    # (infer/fused_trunk.py), standard apply otherwise
+    s1_apply = None
+    try:
+        from superresolution_tpu.infer.fused_trunk import make_fused_trunk
+
+        s1_trunk = make_fused_trunk({"params": p["stage1"]}, s1)
+
+        def s1_apply(x):
+            return s1.apply({"params": p["stage1"]}, s1_trunk(x),
+                            method="tail")
+    except (ValueError, KeyError, AttributeError):
+        pass
+
     def apply_fn(x):
-        y = s1.apply({"params": p["stage1"]}, x)
+        if s1_apply is not None:
+            y = s1_apply(x)
+        else:
+            y = s1.apply({"params": p["stage1"]}, x)
         if smoothing:
             y = anti_checkerboard(y, smoothing)
         y = fused_s2(y)

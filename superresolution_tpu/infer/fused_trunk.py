@@ -107,3 +107,26 @@ def make_fused_trunk(variables, model, rb=None, interpret=None):
         return _conv(feat, p["trunk_conv"]["Conv_0"]) + head
 
     return trunk_fn
+
+
+class _PreboundModel:
+    """Duck-typed 'model' for infer.upscale: .apply ignores the passed
+    variables (weights are pre-bound)."""
+
+    def __init__(self, apply_fn):
+        self._fn = apply_fn
+
+    def apply(self, _variables, x):
+        return self._fn(x)
+
+
+def fused_rrdb_model(variables, model):
+    """RRDBNet -> a pre-bound model whose trunk runs fused dense-block
+    kernels and whose tail is the standard apply. Raises ValueError for
+    layouts make_fused_trunk does not support."""
+    trunk = make_fused_trunk(variables, model)
+
+    def apply_fn(x):
+        return model.apply(variables, trunk(x), method="tail")
+
+    return _PreboundModel(apply_fn)

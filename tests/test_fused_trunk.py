@@ -85,3 +85,17 @@ def test_fused_trunk_rejects_unrolled_layout():
     variables = _small_net().init(jax.random.key(0), x)
     with pytest.raises(ValueError):
         make_fused_trunk(variables, model)
+
+
+def test_fused_rrdb_model_matches_apply():
+    from superresolution_tpu.infer.fused_trunk import fused_rrdb_model
+
+    model = _small_net()
+    x = jax.random.normal(jax.random.key(6), (1, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.key(7), x)
+    ref = model.apply(variables, x)
+    wrapped = fused_rrdb_model(variables, model)
+    # force interpret on CPU: make_fused_trunk auto-detects backend
+    got = wrapped.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0.05, rtol=0.08)
