@@ -280,3 +280,135 @@ def _fused_bwd(num_heads, interpret, residuals, g):
 
 
 fused_hab_block.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused CAB: LN -> conv3x3 (C -> C/3) -> GELU -> conv3x3 (-> C), the
+# channel-attention branch's conv stack in one VMEM-resident program.
+# The squeeze-excite tail (global mean + 2 tiny dense) stays XLA. Same
+# roll-conv machinery as ops/pallas_dense_trunk.py (see its module doc
+# for the design and the Mosaic constraints); both convs carry biases,
+# so every stage output is masked (pad cols + out-of-image rows).
+# ---------------------------------------------------------------------------
+
+_CAB_PAD = 8
+
+
+def cab_pack_width(width: int) -> int:
+    return -(-(width + 2 * _CAB_PAD) // 16) * 16
+
+
+def cab_weights(hp, dtype=jnp.bfloat16):
+    """HABlock params -> fused-CAB weight list.
+
+    hp: the HABlock subtree (LayerNorm_0 + ChannelAttentionBlock_0).
+    Tracer-safe (jnp ops only — callers apply it under lax.scan).
+    Returns [ln_s, ln_b, A1,B1,C1,bias1, A2,B2,C2,bias2].
+    """
+    cab = hp["ChannelAttentionBlock_0"]
+    out = [jnp.asarray(hp["LayerNorm_0"]["scale"],
+                       jnp.float32).reshape(1, -1),
+           jnp.asarray(hp["LayerNorm_0"]["bias"],
+                       jnp.float32).reshape(1, -1)]
+    for name in ("Conv_0", "Conv_1"):
+        cp = cab[name]["Conv_0"]
+        w = jnp.asarray(cp["kernel"], jnp.float32)  # [3, 3, cin, n]
+        cin, n = w.shape[2], w.shape[3]
+        for dx in (1, 0, 2):
+            out.append(w[:, dx].reshape(3 * cin, n).astype(dtype))
+        out.append(jnp.asarray(cp["bias"],
+                               jnp.float32).reshape(1, n))
+    return out
+
+
+def _cab_kernel(top_ref, mid_ref, bot_ref, ln_s, ln_b,
+                a1, b1, c1, bias1, a2, b2, c2, bias2, out_ref,
+                *, rb, w_img, wp, nb, h_img, c):
+    halo = 2
+    row_start = (pl.program_id(0) % nb) * rb
+    pad_r = wp - w_img - _CAB_PAD
+
+    def padw(t, rows):
+        z = jnp.zeros((rows, _CAB_PAD, c), t.dtype)
+        zr = jnp.zeros((rows, pad_r, c), t.dtype)
+        return jnp.concatenate([z, t, zr], axis=1).reshape(rows * wp, c)
+
+    xf = jnp.concatenate([
+        padw(top_ref[0], halo), padw(mid_ref[0], rb),
+        padw(bot_ref[0], halo)], axis=0)
+
+    def mask(t, k):
+        m = t.shape[0]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        cp_i = idx % wp
+        r_img = row_start - halo + k + idx // wp
+        ok = ((cp_i >= _CAB_PAD) & (cp_i < _CAB_PAD + w_img)
+              & (r_img >= 0) & (r_img < h_img))
+        return jnp.where(ok, t, jnp.asarray(0, t.dtype))
+
+    def rconv(u, a, b, cm, bias, k):
+        mu = u.shape[0]
+        mo = mu - 2 * wp
+        lhs = jnp.concatenate(
+            [u[0:mo], u[wp:wp + mo], u[2 * wp:2 * wp + mo]], axis=1)
+        acc = jnp.dot(lhs, a[:], preferred_element_type=jnp.float32)
+        acc = acc + bias[:]
+        pb = jnp.dot(lhs, b[:], preferred_element_type=jnp.float32)
+        acc = acc + pltpu.roll(pb, 1, 0)
+        pc = jnp.dot(lhs, cm[:], preferred_element_type=jnp.float32)
+        acc = acc + pltpu.roll(pc, mo - 1, 0)
+        return mask(acc, k)
+
+    ln = _ln(xf.astype(jnp.float32), ln_s[:], ln_b[:])
+    ln = mask(ln, 0).astype(xf.dtype)
+    h1 = rconv(ln, a1, b1, c1, bias1, 1)
+    h1 = gelu_exact(h1).astype(xf.dtype)
+    h2 = rconv(h1, a2, b2, c2, bias2, 2).astype(xf.dtype)
+    out_ref[0] = h2.reshape(rb, wp, c)
+
+
+def fused_cab_convs(x, weights, interpret=False, rb=None):
+    """LN + the CAB conv stack on x [B, H, W, C]; returns the pre-SE
+    tensor [B, H, W, C]. W-padding happens IN-KERNEL (zero concat)."""
+    b, h, w_img, c = x.shape
+    wp = cab_pack_width(w_img)
+    halo = 2
+    if rb is None:
+        # f32 intermediates at 128-padded lanes cost ~5 stage tensors of
+        # (rb+4)*wp tokens; 9000 tokens keeps the program under the
+        # 128 MB physical VMEM (rb=128/wp=272 measured 153.7M — OOM).
+        rb = 1
+        for r in range(1, h + 1):
+            if h % r == 0 and (r + 2 * halo) * wp <= 9000:
+                rb = r
+    nb = h // rb
+    xh = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    mid = xh[:, halo:halo + h].reshape(b * nb, rb, w_img, c)
+    tops = jnp.stack([xh[:, i * rb:i * rb + halo] for i in range(nb)],
+                     axis=1).reshape(b * nb, halo, w_img, c)
+    bots = jnp.stack(
+        [xh[:, halo + (i + 1) * rb:2 * halo + (i + 1) * rb]
+         for i in range(nb)], axis=1).reshape(b * nb, halo, w_img, c)
+    spec_mid = pl.BlockSpec((1, rb, w_img, c), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_edge = pl.BlockSpec((1, halo, w_img, c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def cw(t):
+        return pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        partial(_cab_kernel, rb=rb, w_img=w_img, wp=wp, nb=nb, h_img=h,
+                c=c),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        grid=(b * nb,),
+        in_specs=[spec_edge, spec_mid, spec_edge]
+        + [cw(t) for t in weights],
+        out_specs=pl.BlockSpec((1, rb, wp, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp, c), x.dtype),
+        interpret=interpret,
+    )(tops, mid, bots, *weights)
+    return out.reshape(b, h, wp, c)[:, :, _CAB_PAD:_CAB_PAD + w_img]
