@@ -107,19 +107,17 @@ def _kernel9(top_ref, mid_ref, bot_ref, *w_refs, out_ref=None,
     def rconv9(u, w, stage, bias=None):
         mu = u.shape[0]
         mo = mu - 3 * wp  # 2 top rows (1 junk + 1 halo) + 1 bottom
+        # Mosaic rejects lane-concat of slices with mismatched sublane
+        # phase, and has no 16-bit rotate — materialize the +-1 token
+        # shifts as sublane concats (canonical phase), then every slice
+        # start is a multiple of wp (16-aligned).
+        u_p = jnp.concatenate([u[mu - 1:], u[:mu - 1]], axis=0)  # u[i-1]
+        u_m = jnp.concatenate([u[1:], u[:1]], axis=0)            # u[i+1]
         slices = []
         for k in range(3):
-            for d in range(3):
-                s = (k + 1) * wp + d - 1
-                if s + mo > mu:
-                    # (k=2,d=2): one phantom token past the end; it only
-                    # feeds the last PAD-column output (masked) — append
-                    # a zero token instead of a whole junk row.
-                    slices.append(jnp.concatenate(
-                        [u[s:], jnp.zeros((s + mo - mu, u.shape[1]),
-                                          u.dtype)], axis=0))
-                else:
-                    slices.append(u[s:s + mo])
+            base = (k + 1) * wp
+            for src in (u_p, u, u_m):
+                slices.append(src[base:base + mo])
         lhs = jnp.concatenate(slices, axis=1)
         acc = jnp.dot(lhs, w[:], preferred_element_type=jnp.float32)
         if bias is not None:
