@@ -205,7 +205,7 @@ def main():
     macs = B * H * W * 9 * (C * (4 * G + C) + G * (3 * G + C)
                             + G * (2 * G + C) + G * (G + C) + G * C)
     for mode in ("mask2d", "dotsonly", "nomask"):
-        fn = lambda v: run_variant(mode, v, w_9, W, rb)
+        fn = lambda v: run_variant(mode, v, w_9, W, rb).reshape(v.shape)
         t = timeit(fn, xb)
         record(f"{mode}_ms", round(t * 1e3, 2))
         record(f"{mode}_tfs", round(2 * macs / t / 1e12, 1))

@@ -140,12 +140,20 @@ def _kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref=None,
         pc = jnp.dot(lhs, cm[:], preferred_element_type=jnp.float32)
         acc = acc + pltpu.roll(pc, mo - 1, 0)
         out = acc.astype(u.dtype)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (mo, 1), 0)
-        cp = idx % wp
-        r_img = row_start - HALO + mask_k + idx // wp
-        ok = ((cp >= PAD) & (cp < PAD + width)
+        # mask via the free [rows, wp, n] reshape + per-axis 2D iotas:
+        # the flat-token idx%wp / idx//wp (wp not a power of two) cost
+        # ~6 ms/block on the bench geometry (exp_r7b ablation:
+        # 29.6 -> 23.5 ms with identical output).
+        rows = mo // wp
+        n = out.shape[1]
+        o2 = out.reshape(rows, wp, n)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+        r_img = row + (row_start - HALO + mask_k)
+        ok = ((col >= PAD) & (col < PAD + width)
               & (r_img >= 0) & (r_img < h_img))
-        return jnp.where(ok, out, jnp.asarray(0, out.dtype))
+        o2 = jnp.where(ok, o2, jnp.asarray(0, o2.dtype))
+        return o2.reshape(mo, n)
 
     px = rconv(xf, a_px, b_px, c_px, 1, bias_px)
     ps = []  # p1..p4 outputs

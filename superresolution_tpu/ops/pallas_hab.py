@@ -338,13 +338,18 @@ def _cab_kernel(top_ref, mid_ref, bot_ref, ln_s, ln_b,
         padw(bot_ref[0], halo)], axis=0)
 
     def mask(t, k):
+        # 2D-reshape mask — no per-element %// by non-pow2 wp
+        # (exp_r7b: the flat form costs ~20% of the whole kernel)
         m = t.shape[0]
-        idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-        cp_i = idx % wp
-        r_img = row_start - halo + k + idx // wp
-        ok = ((cp_i >= _CAB_PAD) & (cp_i < _CAB_PAD + w_img)
+        rows, n = m // wp, t.shape[1]
+        t2 = t.reshape(rows, wp, n)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+        r_img = row + (row_start - halo + k)
+        ok = ((col >= _CAB_PAD) & (col < _CAB_PAD + w_img)
               & (r_img >= 0) & (r_img < h_img))
-        return jnp.where(ok, t, jnp.asarray(0, t.dtype))
+        t2 = jnp.where(ok, t2, jnp.asarray(0, t2.dtype))
+        return t2.reshape(m, n)
 
     def rconv(u, a, b, cm, bias, k):
         mu = u.shape[0]
