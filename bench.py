@@ -45,14 +45,16 @@ def main() -> None:
     model = RRDBNet(scale=4, in_channels=3, out_channels=3, features=64,
                     num_blocks=23, growth=32, upsampler="pixelshuffle")
     policy = get_policy("bf16")
-    # tile geometry tuned for v5e: rectangular 360x384 tiles divide
-    # 1920x1080 in a 3x5 grid with ZERO padding waste; the trunk runs all
-    # 15 tiles in one batch (the 42 TF/s plateau — benchmarks/exp_r2_*),
-    # the x4-resolution tail maps in chunks of 5 to bound the HR temps.
+    # tile geometry tuned for v5e: rectangular 360x240 tiles divide
+    # 1920x1080 in a 3x8 grid with ZERO padding waste; the trunk runs all
+    # 24 tiles in one batch, the x4-resolution tail maps in chunks of 6.
+    # Narrower tiles raise the fused dense-block kernel's row block to
+    # rb=94 (wp=272: 376 = 4x94 fits the VMEM row budget) — per-block
+    # halo FLOP overhead 1+10/rb drops 1.213x -> 1.106x, which beats the
+    # extra tile-halo area (1.088x -> 1.114x): combined 1.319x -> 1.233x.
     # halo 8: BasicSR's own ESRGAN tiler uses tile_pad=10, and measured
-    # seam error at halo 8 vs 48 is within bf16 noise (exp_r2 seam sweep);
-    # halo overlap overhead drops 1.18x -> 1.088x.
-    tile, halo, batch = (360, 384), 8, 5
+    # seam error at halo 8 vs 48 is within bf16 noise (exp_r2 seam sweep).
+    tile, halo, batch = (360, 240), 8, 6
     h, w = 1080, 1920  # 2K-resolution input
 
     # init under jit: eager per-op dispatch through the TPU tunnel is slow

@@ -68,6 +68,14 @@ def make_kernel(mode):
             mo = mu - 3 * wp
             if mode == "dotsonly":
                 srcs = (u, u, u)
+            elif mode == "rollshift":
+                # +-1 token shifts via 32-bit pltpu.roll on an f32 view
+                # (16-bit rotate unsupported; sublane-concat shifts may
+                # lower badly) — cast once, roll twice, cast back.
+                uf = u.astype(jnp.float32)
+                u_p = pltpu.roll(uf, 1, 0).astype(u.dtype)
+                u_m = pltpu.roll(uf, mu - 1, 0).astype(u.dtype)
+                srcs = (u_p, u, u_m)
             else:
                 u_p = jnp.concatenate([u[mu - 1:], u[:mu - 1]], axis=0)
                 u_m = jnp.concatenate([u[1:], u[:1]], axis=0)
@@ -84,7 +92,7 @@ def make_kernel(mode):
             out = acc.astype(u.dtype)
             if mode == "nomask":
                 return out
-            if mode == "mask2d":
+            if mode in ("mask2d", "rollshift"):
                 rows = mo // wp
                 o2 = out.reshape(rows, wp, out.shape[1])
                 col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
@@ -204,11 +212,24 @@ def main():
     w_9 = r7.im2col_weights(p)
     macs = B * H * W * 9 * (C * (4 * G + C) + G * (3 * G + C)
                             + G * (2 * G + C) + G * (G + C) + G * C)
-    for mode in ("mask2d", "dotsonly", "nomask"):
+    for mode in ("mask2d", "dotsonly", "nomask", "rollshift"):
         fn = lambda v: run_variant(mode, v, w_9, W, rb).reshape(v.shape)
         t = timeit(fn, xb)
         record(f"{mode}_ms", round(t * 1e3, 2))
         record(f"{mode}_tfs", round(2 * macs / t / 1e12, 1))
+
+    # production roll-conv kernel (now with 2D masks) on the same harness
+    from superresolution_tpu.ops.pallas_dense_trunk import (
+        fused_dense_block, proj_weights)
+
+    w_ship = proj_weights({
+        "Conv_0": {"Conv_0": {"kernel": p["px"], "bias": p["px_b"]}},
+        **{f"proj_y{i}": {"kernel": p[f"p{i}"]} for i in range(1, 5)},
+    })
+    fn = lambda v: fused_dense_block(v, w_ship, width=W, rb=rb)
+    t = timeit(fn, xb)
+    record("ship2d_ms", round(t * 1e3, 2))
+    record("ship2d_tfs", round(2 * macs / t / 1e12, 1))
 
 
 if __name__ == "__main__":
