@@ -1,0 +1,286 @@
+"""Phase-space x4 tail convolutions as Pallas kernels at LR resolution.
+
+The folded tail (infer/folded_tail.py) still runs conv_hr and conv_last
+at 4x resolution, where they measure 120 + 115 ms of the 306 ms bench
+tail (benchmarks/exp_r8b_tail.py): conv_hr is a 64-channel conv (the
+10.6 TF/s XLA class) and conv_last's N=3 output fills 3/128 MXU lanes.
+The 64-lane d2s(4) interleave between them moves 8.5 GB at ~280 GB/s.
+
+This module evaluates BOTH in *phase space* at LR resolution on the
+composite 16-phase tensor (channel layout (py*4+px)*64 + f):
+
+  conv_hr   4 Pallas dots, one per output row-phase a:
+            lhs = 18 gathered slabs (3 py-variants x 6 px-variants),
+            [m, 1152] @ [1152, 256]  (b*64+g outputs) — the fast MXU
+            class; 2x FLOP padding (each output uses 576 of 1152 K).
+  conv_last ONE dot over all 16 output phases:
+            lhs = 36 slabs (6 py x 6 px variants),
+            [m, 2304] @ [2304, 48]  ((a*4+b)*3+c outputs); 4x FLOP pad.
+
+Phase index math: output 4x-pixel (4I+a, 4J+b) tap (dy, dx) reads input
+phase py=(a+dy)%4 at LR row I+di with di=(a+dy-py)//4, and likewise in
+x. dy = (py + 4*di) - a must land in {-1,0,1} for the weight to be
+nonzero; all other (slab, output) pairs are zero-padded K.
+
+Out-of-image rows and pad columns are masked to zero after conv_hr —
+which is EXACTLY conv_last's SAME-padding semantics at 4x (the 4x pad
+row -1 is phase py=3 of LR row -1). The final [m,48] phase output
+interleaves to [4H, 4W, 3] with one cheap d2s.
+
+Row shifts (di/dj = +-1) use the dense-trunk machinery: dy via wp-row
+slab offsets, dx via sublane-concat pre-shifted copies of just the
+needed 64-lane phase slabs; masks in the 2D-reshape form (exp_r7b).
+
+Reference: ESRGAN RRDBNet upsampling head (BASELINE config 4); like
+infer/folded_tail.py this is deploy-time TPU engineering with no
+reference counterpart — outputs equal the standard tail up to fp
+reassociation (tests/test_phase_tail.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD = 8
+
+# (phase, shift) variants in lhs slab order; 6 cover all taps of 4 phases
+VARIANTS = ((3, -1), (0, 0), (1, 0), (2, 0), (3, 0), (0, 1))
+
+
+def pack_width(width: int) -> int:
+    return -(-(width + 2 * PAD) // 16) * 16
+
+
+def _lrelu(x):
+    return (jnp.maximum(x, jnp.asarray(0, x.dtype))
+            + jnp.asarray(0.2, x.dtype)
+            * jnp.minimum(x, jnp.asarray(0, x.dtype)))
+
+
+def hr_group_weights(k_hr, bias_hr, dtype=jnp.bfloat16):
+    """conv_hr [3,3,64,64]+[64] -> per-a [1152, 256] weights + [1,256] bias.
+
+    lhs slab order for group a: for dy in (-1,0,1) [py=(a+dy)%4 at row
+    di], for (px, dj) in VARIANTS — weight row block is nonzero iff
+    dx = (px + 4*dj) - b is in {-1,0,1}.
+    """
+    k = np.asarray(k_hr, np.float32)
+    c = k.shape[2]
+    ws = []
+    for a in range(4):
+        w = np.zeros((18 * c, 4 * c), np.float32)
+        for dyi, dy in enumerate((-1, 0, 1)):
+            for pxi, (px, dj) in enumerate(VARIANTS):
+                blk = (dyi * 6 + pxi) * c
+                for b in range(4):
+                    dx = (px + 4 * dj) - b
+                    if dx in (-1, 0, 1):
+                        w[blk:blk + c, b * c:(b + 1) * c] = k[dy + 1, dx + 1]
+        ws.append(jnp.asarray(w, dtype))
+    bias = jnp.asarray(np.tile(np.asarray(bias_hr, np.float32), 4)
+                       .reshape(1, 4 * c), jnp.float32)
+    return ws, bias
+
+
+def last_weights(k_last, bias_last, dtype=jnp.bfloat16):
+    """conv_last [3,3,64,cout]+[cout] -> [2304, 16*cout] + [1, 16*cout].
+
+    lhs slab order: for (py, di) in VARIANTS, for (px, dj) in VARIANTS.
+    Output channel (a*4+b)*cout + c.
+    """
+    k = np.asarray(k_last, np.float32)
+    cin, cout = k.shape[2], k.shape[3]
+    w = np.zeros((36 * cin, 16 * cout), np.float32)
+    for pyi, (py, di) in enumerate(VARIANTS):
+        for pxi, (px, dj) in enumerate(VARIANTS):
+            blk = (pyi * 6 + pxi) * cin
+            dy_of = py + 4 * di
+            dx_of = px + 4 * dj
+            for a in range(4):
+                dy = dy_of - a
+                if dy not in (-1, 0, 1):
+                    continue
+                for b in range(4):
+                    dx = dx_of - b
+                    if dx not in (-1, 0, 1):
+                        continue
+                    w[blk:blk + cin,
+                      (a * 4 + b) * cout:(a * 4 + b + 1) * cout] = \
+                        k[dy + 1, dx + 1]
+    bias = jnp.asarray(np.tile(np.asarray(bias_last, np.float32), 16)
+                       .reshape(1, 16 * cout), jnp.float32)
+    return jnp.asarray(w, dtype), bias
+
+
+def _gather_lhs(u, u_shift, variants_y, wp, mo, c):
+    """Build [mo, len(variants_y)*6*c] lhs from phase slabs.
+
+    u: [mu, 1024] flat tokens; u_shift[(py, px, dj)]: pre-shifted
+    [mu, c] slabs for dj != 0. variants_y: ((py, di), ...) row variants.
+    """
+    slabs = []
+    for py, di in variants_y:
+        base = (di + 1) * wp
+        for px, dj in VARIANTS:
+            if dj == 0:
+                sl = u[:, (py * 4 + px) * c:(py * 4 + px + 1) * c]
+            else:
+                sl = u_shift[(py, px, dj)]
+            slabs.append(sl[base:base + mo])
+    return jnp.concatenate(slabs, axis=1)
+
+
+def _make_shifts(u, needed, c):
+    """Pre-shift the needed (py, px, dj) 64-lane slabs by +-1 token.
+
+    dj=-1 means the tap reads LR column J-1 -> slab[i] = u[i-1]
+    (sublane concat; 16-bit rotate unsupported on this Mosaic).
+    """
+    mu = u.shape[0]
+    out = {}
+    for py, px, dj in needed:
+        sl = u[:, (py * 4 + px) * c:(py * 4 + px + 1) * c]
+        if dj == -1:
+            out[(py, px, dj)] = jnp.concatenate([sl[mu - 1:], sl[:mu - 1]],
+                                                axis=0)
+        else:
+            out[(py, px, dj)] = jnp.concatenate([sl[1:], sl[:1]], axis=0)
+    return out
+
+
+def _mask2d(t, wp, width, row0, h_img):
+    m, n = t.shape
+    rows = m // wp
+    t2 = t.reshape(rows, wp, n)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + row0
+    ok = ((col >= PAD) & (col < PAD + width)
+          & (row >= 0) & (row < h_img))
+    t2 = jnp.where(ok, t2, jnp.asarray(0, t2.dtype))
+    return t2.reshape(m, n)
+
+
+def _hr_kernel(top_ref, mid_ref, bot_ref, w0, w1, w2, w3, bias, out_ref,
+               *, rb, wp, width, nb, h_img, c):
+    row_start = (pl.program_id(0) % nb) * rb
+    cp = 16 * c
+    top = top_ref[0].reshape(wp, cp)
+    mid = mid_ref[0].reshape(rb * wp, cp)
+    bot = bot_ref[0].reshape(wp, cp)
+    u = jnp.concatenate([top, mid, bot], axis=0)
+    mu = u.shape[0]
+    mo = mu - 2 * wp
+    # shifted slabs used by ANY group: (py, px, dj) for px-variants dj!=0
+    needed = {(py, 3, -1) for py in range(4)} | {(py, 0, 1)
+                                                 for py in range(4)}
+    shifts = _make_shifts(u, needed, c)
+    groups = []
+    for a, w in enumerate((w0, w1, w2, w3)):
+        vy = []
+        for dy in (-1, 0, 1):
+            py = (a + dy) % 4
+            vy.append((py, (a + dy - py) // 4))
+        lhs = _gather_lhs(u, shifts, vy, wp, mo, c)
+        acc = jnp.dot(lhs, w[:], preferred_element_type=jnp.float32)
+        acc = acc + bias[:]
+        g = _lrelu(acc.astype(u.dtype))
+        groups.append(_mask2d(g, wp, width, row_start, h_img))
+    out = jnp.concatenate(groups, axis=1)
+    out_ref[0] = out.reshape(rb, wp, 16 * c)
+
+
+def _last_kernel(top_ref, mid_ref, bot_ref, w, bias, out_ref,
+                 *, rb, wp, width, nb, h_img, c, cout):
+    row_start = (pl.program_id(0) % nb) * rb
+    cp = 16 * c
+    top = top_ref[0].reshape(wp, cp)
+    mid = mid_ref[0].reshape(rb * wp, cp)
+    bot = bot_ref[0].reshape(wp, cp)
+    u = jnp.concatenate([top, mid, bot], axis=0)
+    mu = u.shape[0]
+    mo = mu - 2 * wp
+    needed = {(py, px, dj) for py, _ in VARIANTS
+              for px, dj in VARIANTS if dj != 0}
+    shifts = _make_shifts(u, needed, c)
+    lhs = _gather_lhs(u, shifts, VARIANTS, wp, mo, c)
+    acc = jnp.dot(lhs, w[:], preferred_element_type=jnp.float32)
+    acc = acc + bias[:]
+    out = _mask2d(acc.astype(u.dtype), wp, width, row_start, h_img)
+    out_ref[0] = out.reshape(rb, wp, 16 * cout)
+
+
+def _run(kernel, x, weights, *, rb, width, nb, h_img, c, out_ch,
+         interpret, extra):
+    b, h, wp, cp = x.shape
+    xh = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    mid = xh[:, 1:1 + h].reshape(b * nb, rb, wp, cp)
+    tops = jnp.stack([xh[:, i * rb:i * rb + 1] for i in range(nb)],
+                     axis=1).reshape(b * nb, 1, wp, cp)
+    bots = jnp.stack([xh[:, 1 + (i + 1) * rb:2 + (i + 1) * rb]
+                      for i in range(nb)],
+                     axis=1).reshape(b * nb, 1, wp, cp)
+    spec_mid = pl.BlockSpec((1, rb, wp, cp), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_edge = pl.BlockSpec((1, 1, wp, cp), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def cw(t):
+        return pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        partial(kernel, rb=rb, wp=wp, width=width, nb=nb, h_img=h, c=c,
+                **extra),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        grid=(b * nb,),
+        in_specs=[spec_edge, spec_mid, spec_edge]
+        + [cw(t) for t in weights],
+        out_specs=pl.BlockSpec((1, rb, wp, out_ch),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp, out_ch), x.dtype),
+        interpret=interpret,
+    )(tops, mid, bots, *weights)
+    return out.reshape(b, h, wp, out_ch)
+
+
+def pick_rb(h: int, wp: int, per_token_bytes: int,
+            budget: int = 120 * 1024 * 1024) -> int:
+    cap = max(1, budget // (per_token_bytes * wp) - 2)
+    best = 1
+    for rb in range(1, h + 1):
+        if h % rb == 0 and rb <= cap:
+            best = rb
+    return best
+
+
+def phase_hr_last(z2pm, k_hr, b_hr, k_last, b_last, width,
+                  interpret=False, rb=None):
+    """z2pm [B, H, Wp, 1024] phase-major packed (zero pad cols) ->
+    [B, H, Wp, 16*cout]: conv_hr -> lrelu -> conv_last in phase space.
+    Pass the UNPACKED image width as `width`."""
+    b, h, wp, cp = z2pm.shape
+    c = cp // 16
+    ws, bias_hr = hr_group_weights(k_hr, b_hr, z2pm.dtype)
+    w_last, bias_last = last_weights(k_last, b_last, z2pm.dtype)
+    cout = np.asarray(k_last).shape[3]
+    # VMEM per token (bf16): in 16c + shifts 8c + lhs 18c + out 16c +
+    # f32 acc 8c -> ~66c*2B; conv_last: in 16c + shifts 12c + lhs 36c +
+    # acc/out small -> ~64c*2B
+    rb_hr = rb or pick_rb(h, wp, 2 * 70 * c)
+    rb_l = rb or pick_rb(h, wp, 2 * 70 * c)
+    y = _run(_hr_kernel, z2pm, list(ws) + [bias_hr], rb=rb_hr,
+             width=width, nb=h // rb_hr, h_img=h, c=c, out_ch=16 * c,
+             interpret=interpret, extra={})
+    out = _run(_last_kernel, y, [w_last, bias_last], rb=rb_l,
+               width=width, nb=h // rb_l, h_img=h, c=c,
+               out_ch=16 * cout, interpret=interpret,
+               extra={"cout": cout})
+    return out
