@@ -71,14 +71,14 @@ def main() -> None:
     def trunk_fn(x):
         return fused_trunk(x.astype(policy.compute_dtype))
 
-    # deploy-time folded tail: the two depth_to_space layout copies
-    # collapse into one final interleave and the stage-2 conv runs at LR
-    # resolution in the K=1024 MXU regime (infer/folded_tail.py; exact on
-    # the same weights). Output stays bf16 on device (quantized to uint16
-    # at write-out).
-    from superresolution_tpu.infer.folded_tail import make_folded_tail
+    # deploy-time phase-space tail: conv_hr and conv_last run as Pallas
+    # phase-gathered dots at LR resolution (infer/phase_tail.py; exact on
+    # the same weights up to bf16 reassociation, measured 61 vs 70 ms per
+    # 6-tile chunk against the folded tail). Output stays bf16 on device
+    # (quantized to uint16 at write-out).
+    from superresolution_tpu.infer.phase_tail import make_phase_tail
 
-    tail_fn = make_folded_tail(params)
+    tail_fn = make_phase_tail(params)
 
     # Fully on-device two-stage tiled inference: the compute-bound trunk
     # runs over ALL tiles in one batch (best MXU utilization), the

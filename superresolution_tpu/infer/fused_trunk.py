@@ -122,11 +122,27 @@ class _PreboundModel:
 
 def fused_rrdb_model(variables, model):
     """RRDBNet -> a pre-bound model whose trunk runs fused dense-block
-    kernels and whose tail is the standard apply. Raises ValueError for
-    layouts make_fused_trunk does not support."""
+    kernels and whose tail is the phase-space Pallas tail when the
+    layout supports it (scale-4 pixelshuffle; infer/phase_tail.py),
+    else the standard apply. Raises ValueError for layouts
+    make_fused_trunk does not support."""
     trunk = make_fused_trunk(variables, model)
 
+    tail = None
+    if model.scale == 4 and model.upsampler == "pixelshuffle":
+        from superresolution_tpu.infer.phase_tail import make_phase_tail
+
+        try:
+            # clip=False: the standard apply tail this replaces does not
+            # clip (models/rrdbnet.py::tail); upscale() handles range
+            tail = make_phase_tail(variables, clip=False)
+        except (KeyError, ValueError):
+            tail = None
+
     def apply_fn(x):
-        return model.apply(variables, trunk(x), method="tail")
+        feat = trunk(x)
+        if tail is not None:
+            return tail(feat)
+        return model.apply(variables, feat, method="tail")
 
     return _PreboundModel(apply_fn)

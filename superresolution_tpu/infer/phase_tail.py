@@ -69,6 +69,12 @@ def make_phase_tail(params, clip: bool = True, rb=None, interpret=None):
         wp = pack_width(w)
         z2pm = jnp.pad(z2pm, ((0, 0), (0, 0), (PAD, wp - w - PAD),
                               (0, 0)))
+        # The barrier is load-bearing: without it XLA fuses the
+        # phase-packing transpose into the pallas operand and the TPU
+        # backend ABORTS at runtime (measured; kernels alone and
+        # prologue alone are both fine). Forcing materialization
+        # restores the default operand layout Mosaic expects.
+        z2pm = jax.lax.optimization_barrier(z2pm)
         out = phase_hr_last(z2pm, hr["kernel"], hr["bias"],
                             last["kernel"], last["bias"], width=w,
                             interpret=interp, rb=rb)

@@ -49,6 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 PAD = 8
 
+# Mosaic scoped-VMEM ceiling for these kernels. 127 MB works when the
+# pallas calls are the whole XLA program, but ABORTS when fused into a
+# program that also runs XLA convs (the phase tail's prologue) — the
+# compiler needs headroom for its own tiles. pick_rb budgets against
+# the same number.
+VMEM_LIMIT = 100 * 1024 * 1024
+
 # (phase, shift) variants in lhs slab order; 6 cover all taps of 4 phases
 VARIANTS = ((3, -1), (0, 0), (1, 0), (2, 0), (3, 0), (0, 1))
 
@@ -238,7 +245,7 @@ def _run(kernel, x, weights, *, rb, width, nb, h_img, c, out_ch,
         partial(kernel, rb=rb, wp=wp, width=width, nb=nb, h_img=h, c=c,
                 **extra),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT),
         grid=(b * nb,),
         in_specs=[spec_edge, spec_mid, spec_edge]
         + [cw(t) for t in weights],
@@ -252,7 +259,9 @@ def _run(kernel, x, weights, *, rb, width, nb, h_img, c, out_ch,
 
 
 def pick_rb(h: int, wp: int, per_token_bytes: int,
-            budget: int = 120 * 1024 * 1024) -> int:
+            budget: int = None) -> int:
+    if budget is None:
+        budget = VMEM_LIMIT - 8 * 1024 * 1024
     cap = max(1, budget // (per_token_bytes * wp) - 2)
     best = 1
     for rb in range(1, h + 1):
@@ -271,11 +280,11 @@ def phase_hr_last(z2pm, k_hr, b_hr, k_last, b_last, width,
     ws, bias_hr = hr_group_weights(k_hr, b_hr, z2pm.dtype)
     w_last, bias_last = last_weights(k_last, b_last, z2pm.dtype)
     cout = np.asarray(k_last).shape[3]
-    # VMEM per token (bf16): in 16c + shifts 8c + lhs 18c + out 16c +
-    # f32 acc 8c -> ~66c*2B; conv_last: in 16c + shifts 12c + lhs 36c +
-    # acc/out small -> ~64c*2B
-    rb_hr = rb or pick_rb(h, wp, 2 * 70 * c)
-    rb_l = rb or pick_rb(h, wp, 2 * 70 * c)
+    # VMEM per token (bf16): the 16c-lane in AND out windows are
+    # DOUBLE-buffered by the pipeline (2*2*16c) + shifts 8c + lhs 18c +
+    # f32 acc 8c -> ~98c*2B (measured: rb=47 at c=64 wants 154M).
+    rb_hr = rb or pick_rb(h, wp, 2 * 98 * c)
+    rb_l = rb or pick_rb(h, wp, 2 * 98 * c)
     y = _run(_hr_kernel, z2pm, list(ws) + [bias_hr], rb=rb_hr,
              width=width, nb=h // rb_hr, h_img=h, c=c, out_ch=16 * c,
              interpret=interpret, extra={})
