@@ -5,8 +5,16 @@ Extends infer/folded_tail.py (which already folds the stage-2 conv to
 LR): the remaining 4x-resolution work — conv_hr (120 ms), conv_last
 (115 ms, N=3) and the 64-lane d2s(4) interleave (31 ms) on the bench
 frame (benchmarks/exp_r8b_tail.py) — moves to LR-resolution MXU dots
-at measured 169 / 65 TF/s (ops/pallas_phase_tail.py). Only a 3-channel
-interleave remains at 4x.
+at measured 169 / 65 TF/s (ops/pallas_phase_tail.py).
+
+The phase-major packing never materializes: the folded up2 kernel's
+output channels are permuted weight-side (permute_up2) so each of the
+4 stage-2 phase convs emits 64-lane phase-contiguous slabs, and the hr
+kernel reads the four conv outputs as separate refs. conv_last's
+output channel order folds the d2s(4) convention and its width crop,
+so the whole epilogue is one depth_to_space. (The first version packed
+a [B,H,Wp,16c] phase-major tensor in XLA — stack + 8D transpose + pad,
+19.5 ms of pure HBM copies per 6-tile chunk, all deleted here.)
 
 Same contract as make_folded_tail: tail_fn(feat [B,H,W,C]) ->
 [B,4H,4W,out], exact on the same weights up to fp reassociation
@@ -27,12 +35,22 @@ from superresolution_tpu.infer.folded_tail import (
     _lrelu,
     fold_stage2_kernel,
 )
-from superresolution_tpu.ops.pallas_phase_tail import (
-    PAD,
-    pack_width,
-    phase_hr_last,
-)
+from superresolution_tpu.ops.pallas_phase_tail import phase_hr_last
 from superresolution_tpu.ops.pixel_shuffle import depth_to_space
+
+
+def permute_up2(kf: np.ndarray, bias: np.ndarray):
+    """Permute the folded stage-2 kernel's output channels from the
+    d2s layout f*4+i2*2+j2 to the slab layout (i2*2+j2)*c+f, so each
+    phase conv's output is 64-lane phase-contiguous for the hr kernel.
+    kf: [2,2,2,2,4c,4c] from fold_stage2_kernel; bias: [4c]."""
+    c4 = kf.shape[-1]
+    c = c4 // 4
+    perm = np.empty(c4, np.int64)
+    for f in range(c):
+        for q in range(4):
+            perm[q * c + f] = f * 4 + q
+    return kf[..., perm], np.asarray(bias, np.float32)[perm]
 
 
 def make_phase_tail(params, clip: bool = True, rb=None, interpret=None):
@@ -42,9 +60,10 @@ def make_phase_tail(params, clip: bool = True, rb=None, interpret=None):
     up2 = p["up"]["Conv_1"]["Conv_0"]
     hr = p["conv_hr"]["Conv_0"]
     last = p["conv_last"]["Conv_0"]
-    kf = jnp.asarray(fold_stage2_kernel(np.asarray(up2["kernel"],
-                                                   np.float32)))
-    c = np.asarray(up1["kernel"]).shape[2]
+    kf, bias2 = permute_up2(
+        fold_stage2_kernel(np.asarray(up2["kernel"], np.float32)),
+        np.asarray(up2["bias"], np.float32))
+    kf, bias2 = jnp.asarray(kf), jnp.asarray(bias2)
     cout = np.asarray(last["kernel"]).shape[3]
 
     def tail_fn(feat: jnp.ndarray) -> jnp.ndarray:
@@ -57,31 +76,20 @@ def make_phase_tail(params, clip: bool = True, rb=None, interpret=None):
             for j1 in (0, 1):
                 zp = jnp.pad(z1, ((0, 0), (1 - i1, i1), (1 - j1, j1),
                                   (0, 0)))
-                y = _conv(zp, kf[i1, j1], jnp.asarray(up2["bias"]),
-                          padding="VALID")
-                ys.append(_lrelu(y))  # [B,H,W,4C]: f*4 + i2*2 + j2
+                y = _conv(zp, kf[i1, j1], bias2, padding="VALID")
+                ys.append(_lrelu(y))  # [B,H,W,4C]: (i2*2+j2)*C+f
         bsz, h, w, _ = z1.shape
-        t = jnp.stack(ys, axis=3)  # [B,H,W, i1*2+j1, 4C]
-        t = t.reshape(bsz, h, w, 2, 2, c, 2, 2)  # i1, j1, f, i2, j2
-        # phase-major: channel = (py*4+px)*C + f, py=i1*2+i2, px=j1*2+j2
-        t = t.transpose(0, 1, 2, 3, 6, 4, 7, 5)
-        z2pm = t.reshape(bsz, h, w, 16 * c)
-        wp = pack_width(w)
-        z2pm = jnp.pad(z2pm, ((0, 0), (0, 0), (PAD, wp - w - PAD),
-                              (0, 0)))
-        # The barrier is load-bearing: without it XLA fuses the
-        # phase-packing transpose into the pallas operand and the TPU
-        # backend ABORTS at runtime (measured; kernels alone and
-        # prologue alone are both fine). Forcing materialization
-        # restores the default operand layout Mosaic expects.
-        z2pm = jax.lax.optimization_barrier(z2pm)
-        out = phase_hr_last(z2pm, hr["kernel"], hr["bias"],
+        # The barrier is load-bearing: without it XLA fuses the conv
+        # epilogue chain into the pallas operands and the TPU backend
+        # ABORTS at runtime (measured; kernels alone and prologue alone
+        # are both fine). Forcing materialization restores the default
+        # operand layout Mosaic expects.
+        ys = list(jax.lax.optimization_barrier(tuple(ys)))
+        out = phase_hr_last(ys, hr["kernel"], hr["bias"],
                             last["kernel"], last["bias"], width=w,
                             interpret=interp, rb=rb)
-        out = out[:, :, PAD:PAD + w]  # [B,H,W,16*cout]: (a*4+b)*cout+c
-        # d2s(4) expects channel = c*16 + a*4 + b
-        o = out.reshape(bsz, h, w, 16, cout).transpose(0, 1, 2, 4, 3)
-        y = depth_to_space(o.reshape(bsz, h, w, 16 * cout), 4)
+        # out channel is already c*16+a*4+b == the d2s(4) convention
+        y = depth_to_space(out.reshape(bsz, h, w, 16 * cout), 4)
         return jnp.clip(y, 0.0, 1.0) if clip else y
 
     return tail_fn

@@ -6,8 +6,7 @@ tail (benchmarks/exp_r8b_tail.py): conv_hr is a 64-channel conv (the
 10.6 TF/s XLA class) and conv_last's N=3 output fills 3/128 MXU lanes.
 The 64-lane d2s(4) interleave between them moves 8.5 GB at ~280 GB/s.
 
-This module evaluates BOTH in *phase space* at LR resolution on the
-composite 16-phase tensor (channel layout (py*4+px)*64 + f):
+This module evaluates BOTH in *phase space* at LR resolution:
 
   conv_hr   4 Pallas dots, one per output row-phase a:
             lhs = 18 gathered slabs (3 py-variants x 6 px-variants),
@@ -15,17 +14,27 @@ composite 16-phase tensor (channel layout (py*4+px)*64 + f):
             class; 2x FLOP padding (each output uses 576 of 1152 K).
   conv_last ONE dot over all 16 output phases:
             lhs = 36 slabs (6 py x 6 px variants),
-            [m, 2304] @ [2304, 48]  ((a*4+b)*3+c outputs); 4x FLOP pad.
+            [m, 2304] @ [2304, 48]  (c*16+a*4+b outputs, d2s-ready);
+            4x FLOP pad.
 
 Phase index math: output 4x-pixel (4I+a, 4J+b) tap (dy, dx) reads input
 phase py=(a+dy)%4 at LR row I+di with di=(a+dy-py)//4, and likewise in
 x. dy = (py + 4*di) - a must land in {-1,0,1} for the weight to be
 nonzero; all other (slab, output) pairs are zero-padded K.
 
-Out-of-image rows and pad columns are masked to zero after conv_hr —
-which is EXACTLY conv_last's SAME-padding semantics at 4x (the 4x pad
-row -1 is phase py=3 of LR row -1). The final [m,48] phase output
-interleaves to [4H, 4W, 3] with one cheap d2s.
+The hr kernel's input is the FOUR stage-2 phase conv outputs as
+separate refs (each [B,H,W,4c], channel (i2*2+j2)*c+f after the
+weight-side permutation infer/phase_tail.py applies to the folded up2
+kernel): phase (py,px) is ref (py//2)*2+(px//2), 64-lane offset
+((py%2)*2+(px%2))*c. No phase-packing transpose/concat ever
+materializes in HBM — the zero pad columns are synthesized in VMEM.
+conv_last's output channel order folds the d2s(4) interleave
+convention and its width crop happens at the out_ref write, so the
+epilogue is one depth_to_space.
+
+Out-of-image rows and pad columns are zeroed after conv_hr — which is
+EXACTLY conv_last's SAME-padding semantics at 4x (the 4x pad row -1 is
+phase py=3 of LR row -1).
 
 Row shifts (di/dj = +-1) use the dense-trunk machinery: dy via wp-row
 slab offsets, dx via sublane-concat pre-shifted copies of just the
@@ -99,11 +108,18 @@ def last_weights(k_last, bias_last, dtype=jnp.bfloat16):
     """conv_last [3,3,64,cout]+[cout] -> [2304, 16*cout] + [1, 16*cout].
 
     lhs slab order: for (py, di) in VARIANTS, for (px, dj) in VARIANTS.
-    Output channel (a*4+b)*cout + c.
+    Output channel c*16 + a*4 + b — the d2s(4) convention, so the
+    kernel output interleaves with one depth_to_space, no transpose.
     """
     k = np.asarray(k_last, np.float32)
     cin, cout = k.shape[2], k.shape[3]
     w = np.zeros((36 * cin, 16 * cout), np.float32)
+    bias = np.zeros((16 * cout,), np.float32)
+    bl = np.asarray(bias_last, np.float32)
+    for a in range(4):
+        for b in range(4):
+            for ch in range(cout):
+                bias[ch * 16 + a * 4 + b] = bl[ch]
     for pyi, (py, di) in enumerate(VARIANTS):
         for pxi, (px, dj) in enumerate(VARIANTS):
             blk = (pyi * 6 + pxi) * cin
@@ -117,42 +133,38 @@ def last_weights(k_last, bias_last, dtype=jnp.bfloat16):
                     dx = dx_of - b
                     if dx not in (-1, 0, 1):
                         continue
-                    w[blk:blk + cin,
-                      (a * 4 + b) * cout:(a * 4 + b + 1) * cout] = \
-                        k[dy + 1, dx + 1]
-    bias = jnp.asarray(np.tile(np.asarray(bias_last, np.float32), 16)
-                       .reshape(1, 16 * cout), jnp.float32)
-    return jnp.asarray(w, dtype), bias
+                    for ch in range(cout):
+                        w[blk:blk + cin, ch * 16 + a * 4 + b] = \
+                            k[dy + 1, dx + 1, :, ch]
+    return jnp.asarray(w, dtype), jnp.asarray(bias.reshape(1, -1),
+                                              jnp.float32)
 
 
-def _gather_lhs(u, u_shift, variants_y, wp, mo, c):
+def _gather_lhs(slab, shifts, variants_y, wp, mo):
     """Build [mo, len(variants_y)*6*c] lhs from phase slabs.
 
-    u: [mu, 1024] flat tokens; u_shift[(py, px, dj)]: pre-shifted
+    slab(py, px): [mu, c] dj=0 slab; shifts[(py, px, dj)]: pre-shifted
     [mu, c] slabs for dj != 0. variants_y: ((py, di), ...) row variants.
     """
     slabs = []
     for py, di in variants_y:
         base = (di + 1) * wp
         for px, dj in VARIANTS:
-            if dj == 0:
-                sl = u[:, (py * 4 + px) * c:(py * 4 + px + 1) * c]
-            else:
-                sl = u_shift[(py, px, dj)]
+            sl = slab(py, px) if dj == 0 else shifts[(py, px, dj)]
             slabs.append(sl[base:base + mo])
     return jnp.concatenate(slabs, axis=1)
 
 
-def _make_shifts(u, needed, c):
+def _make_shifts(slab, needed):
     """Pre-shift the needed (py, px, dj) 64-lane slabs by +-1 token.
 
-    dj=-1 means the tap reads LR column J-1 -> slab[i] = u[i-1]
+    dj=-1 means the tap reads LR column J-1 -> out[i] = slab[i-1]
     (sublane concat; 16-bit rotate unsupported on this Mosaic).
     """
-    mu = u.shape[0]
     out = {}
     for py, px, dj in needed:
-        sl = u[:, (py * 4 + px) * c:(py * 4 + px + 1) * c]
+        sl = slab(py, px)
+        mu = sl.shape[0]
         if dj == -1:
             out[(py, px, dj)] = jnp.concatenate([sl[mu - 1:], sl[:mu - 1]],
                                                 axis=0)
@@ -173,30 +185,52 @@ def _mask2d(t, wp, width, row0, h_img):
     return t2.reshape(m, n)
 
 
-def _hr_kernel(top_ref, mid_ref, bot_ref, w0, w1, w2, w3, bias, out_ref,
-               *, rb, wp, width, nb, h_img, c):
+def _wpad_flat(t, wp, width):
+    """[rows, width, ch] window -> [rows*wp, ch] flat tokens with the
+    PAD zero columns synthesized in VMEM (never materialized in HBM)."""
+    rows, _, ch = t.shape
+    zl = jnp.zeros((rows, PAD, ch), t.dtype)
+    zr = jnp.zeros((rows, wp - width - PAD, ch), t.dtype)
+    return jnp.concatenate([zl, t, zr], axis=1).reshape(rows * wp, ch)
+
+
+def _hr_kernel(*args, rb, wp, width, nb, h_img, c):
+    """args: 12 window refs (top/mid/bot of the 4 phase conv outputs;
+    r = i1*2+j1, channel (i2*2+j2)*c+f), 4 group weights, bias,
+    out_ref."""
+    refs12 = args[:12]
+    w0, w1, w2, w3, bias = args[12:17]
+    out_ref = args[17]
     row_start = (pl.program_id(0) % nb) * rb
-    cp = 16 * c
-    top = top_ref[0].reshape(wp, cp)
-    mid = mid_ref[0].reshape(rb * wp, cp)
-    bot = bot_ref[0].reshape(wp, cp)
-    u = jnp.concatenate([top, mid, bot], axis=0)
-    mu = u.shape[0]
+    us = []
+    for r in range(4):
+        top, mid, bot = refs12[3 * r], refs12[3 * r + 1], refs12[3 * r + 2]
+        us.append(jnp.concatenate(
+            [_wpad_flat(top[0], wp, width),
+             _wpad_flat(mid[0], wp, width),
+             _wpad_flat(bot[0], wp, width)], axis=0))
+    mu = us[0].shape[0]
     mo = mu - 2 * wp
+
+    def slab(py, px):
+        r = (py // 2) * 2 + (px // 2)
+        off = ((py % 2) * 2 + (px % 2)) * c
+        return us[r][:, off:off + c]
+
     # shifted slabs used by ANY group: (py, px, dj) for px-variants dj!=0
     needed = {(py, 3, -1) for py in range(4)} | {(py, 0, 1)
                                                  for py in range(4)}
-    shifts = _make_shifts(u, needed, c)
+    shifts = _make_shifts(slab, needed)
     groups = []
     for a, w in enumerate((w0, w1, w2, w3)):
         vy = []
         for dy in (-1, 0, 1):
             py = (a + dy) % 4
             vy.append((py, (a + dy - py) // 4))
-        lhs = _gather_lhs(u, shifts, vy, wp, mo, c)
+        lhs = _gather_lhs(slab, shifts, vy, wp, mo)
         acc = jnp.dot(lhs, w[:], preferred_element_type=jnp.float32)
         acc = acc + bias[:]
-        g = _lrelu(acc.astype(u.dtype))
+        g = _lrelu(acc.astype(us[0].dtype))
         groups.append(_mask2d(g, wp, width, row_start, h_img))
     out = jnp.concatenate(groups, axis=1)
     out_ref[0] = out.reshape(rb, wp, 16 * c)
@@ -204,7 +238,6 @@ def _hr_kernel(top_ref, mid_ref, bot_ref, w0, w1, w2, w3, bias, out_ref,
 
 def _last_kernel(top_ref, mid_ref, bot_ref, w, bias, out_ref,
                  *, rb, wp, width, nb, h_img, c, cout):
-    row_start = (pl.program_id(0) % nb) * rb
     cp = 16 * c
     top = top_ref[0].reshape(wp, cp)
     mid = mid_ref[0].reshape(rb * wp, cp)
@@ -212,50 +245,92 @@ def _last_kernel(top_ref, mid_ref, bot_ref, w, bias, out_ref,
     u = jnp.concatenate([top, mid, bot], axis=0)
     mu = u.shape[0]
     mo = mu - 2 * wp
+
+    def slab(py, px):
+        return u[:, (py * 4 + px) * c:(py * 4 + px + 1) * c]
+
     needed = {(py, px, dj) for py, _ in VARIANTS
               for px, dj in VARIANTS if dj != 0}
-    shifts = _make_shifts(u, needed, c)
-    lhs = _gather_lhs(u, shifts, VARIANTS, wp, mo, c)
+    shifts = _make_shifts(slab, needed)
+    lhs = _gather_lhs(slab, shifts, VARIANTS, wp, mo)
     acc = jnp.dot(lhs, w[:], preferred_element_type=jnp.float32)
     acc = acc + bias[:]
-    out = _mask2d(acc.astype(u.dtype), wp, width, row_start, h_img)
-    out_ref[0] = out.reshape(rb, wp, 16 * cout)
+    out = acc.astype(u.dtype).reshape(rb, wp, 16 * cout)
+    # crop the pad columns at the write: out is [rb, width, 16*cout],
+    # image-exact — the epilogue is one d2s(4)
+    out_ref[0] = out[:, PAD:PAD + width]
 
 
-def _run(kernel, x, weights, *, rb, width, nb, h_img, c, out_ch,
-         interpret, extra):
-    b, h, wp, cp = x.shape
+def _edge_windows(x, rb, nb):
+    """x [B, H, W, ch] -> (tops, mid, bots) blocked for an rb-row grid
+    with one zero halo row above/below the image."""
+    b, h, wd, ch = x.shape
     xh = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    mid = xh[:, 1:1 + h].reshape(b * nb, rb, wp, cp)
+    mid = xh[:, 1:1 + h].reshape(b * nb, rb, wd, ch)
     tops = jnp.stack([xh[:, i * rb:i * rb + 1] for i in range(nb)],
-                     axis=1).reshape(b * nb, 1, wp, cp)
+                     axis=1).reshape(b * nb, 1, wd, ch)
     bots = jnp.stack([xh[:, 1 + (i + 1) * rb:2 + (i + 1) * rb]
                       for i in range(nb)],
-                     axis=1).reshape(b * nb, 1, wp, cp)
-    spec_mid = pl.BlockSpec((1, rb, wp, cp), lambda i: (i, 0, 0, 0),
+                     axis=1).reshape(b * nb, 1, wd, ch)
+    return tops, mid, bots
+
+
+def _specs(rb, wd, ch):
+    spec_mid = pl.BlockSpec((1, rb, wd, ch), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    spec_edge = pl.BlockSpec((1, 1, wp, cp), lambda i: (i, 0, 0, 0),
+    spec_edge = pl.BlockSpec((1, 1, wd, ch), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
+    return spec_edge, spec_mid, spec_edge
 
-    def cw(t):
-        return pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
-                            memory_space=pltpu.VMEM)
 
+def _const_spec(t):
+    return pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
+                        memory_space=pltpu.VMEM)
+
+
+def _run_hr(ys4, weights, *, rb, wp, width, nb, h_img, c, interpret):
+    b, h, wd, c4 = ys4[0].shape
+    ins, in_specs = [], []
+    for y in ys4:
+        tops, mid, bots = _edge_windows(y, rb, nb)
+        ins += [tops, mid, bots]
+        in_specs += list(_specs(rb, wd, c4))
     out = pl.pallas_call(
-        partial(kernel, rb=rb, wp=wp, width=width, nb=nb, h_img=h, c=c,
-                **extra),
+        partial(_hr_kernel, rb=rb, wp=wp, width=width, nb=nb, h_img=h,
+                c=c),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         grid=(b * nb,),
-        in_specs=[spec_edge, spec_mid, spec_edge]
-        + [cw(t) for t in weights],
-        out_specs=pl.BlockSpec((1, rb, wp, out_ch),
+        in_specs=in_specs + [_const_spec(t) for t in weights],
+        out_specs=pl.BlockSpec((1, rb, wp, 16 * c),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp, out_ch), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp, 16 * c),
+                                       ys4[0].dtype),
+        interpret=interpret,
+    )(*ins, *weights)
+    return out.reshape(b, h, wp, 16 * c)
+
+
+def _run_last(x, weights, *, rb, width, nb, h_img, c, cout, interpret):
+    b, h, wp, cp = x.shape
+    tops, mid, bots = _edge_windows(x, rb, nb)
+    out = pl.pallas_call(
+        partial(_last_kernel, rb=rb, wp=wp, width=width, nb=nb, h_img=h,
+                c=c, cout=cout),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        grid=(b * nb,),
+        in_specs=list(_specs(rb, wp, cp))
+        + [_const_spec(t) for t in weights],
+        out_specs=pl.BlockSpec((1, rb, width, 16 * cout),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * nb, rb, width, 16 * cout),
+                                       x.dtype),
         interpret=interpret,
     )(tops, mid, bots, *weights)
-    return out.reshape(b, h, wp, out_ch)
+    return out.reshape(b, h, width, 16 * cout)
 
 
 def pick_rb(h: int, wp: int, per_token_bytes: int,
@@ -270,26 +345,27 @@ def pick_rb(h: int, wp: int, per_token_bytes: int,
     return best
 
 
-def phase_hr_last(z2pm, k_hr, b_hr, k_last, b_last, width,
+def phase_hr_last(ys4, k_hr, b_hr, k_last, b_last, width,
                   interpret=False, rb=None):
-    """z2pm [B, H, Wp, 1024] phase-major packed (zero pad cols) ->
-    [B, H, Wp, 16*cout]: conv_hr -> lrelu -> conv_last in phase space.
-    Pass the UNPACKED image width as `width`."""
-    b, h, wp, cp = z2pm.shape
-    c = cp // 16
-    ws, bias_hr = hr_group_weights(k_hr, b_hr, z2pm.dtype)
-    w_last, bias_last = last_weights(k_last, b_last, z2pm.dtype)
+    """ys4: the 4 permuted stage-2 phase conv outputs, each
+    [B, H, width, 4c] (UNPADDED width; ref r = i1*2+j1, channel
+    (i2*2+j2)*c+f — see infer/phase_tail.permute_up2). Returns
+    [B, H, width, 16*cout] with channel c*16+a*4+b, ready for d2s(4):
+    conv_hr -> lrelu -> conv_last in phase space."""
+    b, h, w, c4 = ys4[0].shape
+    c = c4 // 4
+    wp = pack_width(width)
+    ws, bias_hr = hr_group_weights(k_hr, b_hr, ys4[0].dtype)
+    w_last, bias_last = last_weights(k_last, b_last, ys4[0].dtype)
     cout = np.asarray(k_last).shape[3]
     # VMEM per token (bf16): the 16c-lane in AND out windows are
     # DOUBLE-buffered by the pipeline (2*2*16c) + shifts 8c + lhs 18c +
     # f32 acc 8c -> ~98c*2B (measured: rb=47 at c=64 wants 154M).
     rb_hr = rb or pick_rb(h, wp, 2 * 98 * c)
     rb_l = rb or pick_rb(h, wp, 2 * 98 * c)
-    y = _run(_hr_kernel, z2pm, list(ws) + [bias_hr], rb=rb_hr,
-             width=width, nb=h // rb_hr, h_img=h, c=c, out_ch=16 * c,
-             interpret=interpret, extra={})
-    out = _run(_last_kernel, y, [w_last, bias_last], rb=rb_l,
-               width=width, nb=h // rb_l, h_img=h, c=c,
-               out_ch=16 * cout, interpret=interpret,
-               extra={"cout": cout})
+    y = _run_hr(ys4, list(ws) + [bias_hr], rb=rb_hr, wp=wp, width=width,
+                nb=h // rb_hr, h_img=h, c=c, interpret=interpret)
+    out = _run_last(y, [w_last, bias_last], rb=rb_l, width=width,
+                    nb=h // rb_l, h_img=h, c=c, cout=cout,
+                    interpret=interpret)
     return out
