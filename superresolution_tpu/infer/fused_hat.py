@@ -269,17 +269,17 @@ def fused_hybrid_model(variables, model):
     smoothing = model.smoothing
     output_size = model.output_size
 
-    # stage 1: fused dense-block trunk when the layout supports it
-    # (infer/fused_trunk.py), standard apply otherwise
+    # stage 1: fused dense-block trunk + phase-space tail when the
+    # layout supports them (infer/fused_trunk.py), standard apply
+    # otherwise
     s1_apply = None
     try:
-        from superresolution_tpu.infer.fused_trunk import make_fused_trunk
+        from superresolution_tpu.infer.fused_trunk import fused_rrdb_model
 
-        s1_trunk = make_fused_trunk({"params": p["stage1"]}, s1)
+        s1_model = fused_rrdb_model({"params": p["stage1"]}, s1)
 
         def s1_apply(x):
-            return s1.apply({"params": p["stage1"]}, s1_trunk(x),
-                            method="tail")
+            return s1_model.apply(None, x)
     except (ValueError, KeyError, AttributeError):
         pass
 

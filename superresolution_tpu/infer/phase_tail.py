@@ -7,14 +7,16 @@ LR): the remaining 4x-resolution work — conv_hr (120 ms), conv_last
 frame (benchmarks/exp_r8b_tail.py) — moves to LR-resolution MXU dots
 at measured 169 / 65 TF/s (ops/pallas_phase_tail.py).
 
-The phase-major packing never materializes: the folded up2 kernel's
-output channels are permuted weight-side (permute_up2) so each of the
-4 stage-2 phase convs emits 64-lane phase-contiguous slabs, and the hr
-kernel reads the four conv outputs as separate refs. conv_last's
-output channel order folds the d2s(4) convention and its width crop,
-so the whole epilogue is one depth_to_space. (The first version packed
-a [B,H,Wp,16c] phase-major tensor in XLA — stack + 8D transpose + pad,
-19.5 ms of pure HBM copies per 6-tile chunk, all deleted here.)
+Neither the phase-major packing nor the stage-2 phase outputs ever
+materialize in HBM: the folded up2 kernel's output channels are
+permuted weight-side (permute_up2) so each phase conv emits 64-lane
+phase-contiguous slabs, and the up2 phase convs run INSIDE the hr
+kernel as in-VMEM tap dots on z1 (2-row halo). conv_last's output
+channel order folds the d2s(4) convention and its width crop, so the
+whole epilogue is one depth_to_space. (v1 packed a [B,H,Wp,16c]
+phase-major tensor in XLA — stack + 8D transpose + pad, 19.5 ms of
+pure HBM copies per 6-tile chunk; v2 ran the up2 convs in XLA at
+48 TF/s and round-tripped their 2.4 GB/chunk output; both deleted.)
 
 Same contract as make_folded_tail: tail_fn(feat [B,H,W,C]) ->
 [B,4H,4W,out], exact on the same weights up to fp reassociation
@@ -71,21 +73,14 @@ def make_phase_tail(params, clip: bool = True, rb=None, interpret=None):
                   if interpret is None else interpret)
         z1 = _lrelu(_conv(feat, jnp.asarray(up1["kernel"]),
                           jnp.asarray(up1["bias"])))  # [B,H,W,4C] phases
-        ys = []
-        for i1 in (0, 1):
-            for j1 in (0, 1):
-                zp = jnp.pad(z1, ((0, 0), (1 - i1, i1), (1 - j1, j1),
-                                  (0, 0)))
-                y = _conv(zp, kf[i1, j1], bias2, padding="VALID")
-                ys.append(_lrelu(y))  # [B,H,W,4C]: (i2*2+j2)*C+f
         bsz, h, w, _ = z1.shape
         # The barrier is load-bearing: without it XLA fuses the conv
-        # epilogue chain into the pallas operands and the TPU backend
+        # epilogue chain into the pallas operand and the TPU backend
         # ABORTS at runtime (measured; kernels alone and prologue alone
         # are both fine). Forcing materialization restores the default
         # operand layout Mosaic expects.
-        ys = list(jax.lax.optimization_barrier(tuple(ys)))
-        out = phase_hr_last(ys, hr["kernel"], hr["bias"],
+        z1 = jax.lax.optimization_barrier(z1)
+        out = phase_hr_last(z1, kf, bias2, hr["kernel"], hr["bias"],
                             last["kernel"], last["bias"], width=w,
                             interpret=interp, rb=rb)
         # out channel is already c*16+a*4+b == the d2s(4) convention

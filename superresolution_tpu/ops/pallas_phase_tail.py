@@ -194,22 +194,69 @@ def _wpad_flat(t, wp, width):
     return jnp.concatenate([zl, t, zr], axis=1).reshape(rows * wp, ch)
 
 
-def _hr_kernel(*args, rb, wp, width, nb, h_img, c):
-    """args: 12 window refs (top/mid/bot of the 4 phase conv outputs;
-    r = i1*2+j1, channel (i2*2+j2)*c+f), 4 group weights, bias,
-    out_ref."""
-    refs12 = args[:12]
-    w0, w1, w2, w3, bias = args[12:17]
-    out_ref = args[17]
+def up2_tap_weights(kfp, bias2, dtype=jnp.bfloat16):
+    """Permuted folded stage-2 kernel [2,2,2,2,4c,4c] (output channel
+    (i2*2+j2)*c+f; infer/phase_tail.permute_up2) -> per-(i1,j1)
+    [4*4c, 4c] tap-stacked dot weights (row block t = di*2+dj) and the
+    [1, 4c] bias."""
+    k = np.asarray(kfp, np.float32)
+    c4 = k.shape[-1]
+    ws = []
+    for i1 in (0, 1):
+        for j1 in (0, 1):
+            w = np.zeros((4 * c4, c4), np.float32)
+            for di in (0, 1):
+                for dj in (0, 1):
+                    t = di * 2 + dj
+                    w[t * c4:(t + 1) * c4] = k[i1, j1, di, dj]
+            ws.append(jnp.asarray(w, dtype))
+    bias = jnp.asarray(np.asarray(bias2, np.float32).reshape(1, c4),
+                       jnp.float32)
+    return ws, bias
+
+
+def _up2hr_kernel(*args, rb, wp, width, nb, h_img, c):
+    """z1 -> (in-VMEM stage-2 phase convs) -> conv_hr, one program.
+
+    args: 3 z1 window refs (2-row halos), 4 up2 tap weights + bias,
+    4 hr group weights + bias, out_ref. The stage-2 phase outputs
+    y_{i1,j1} (rows -1..rb relative to the block) are computed as
+    [m, 4*4c] @ [4*4c, 4c] tap dots and never leave VMEM.
+    """
+    top, mid, bot = args[0], args[1], args[2]
+    u0, u1, u2, u3, bias2 = args[3:8]
+    w0, w1, w2, w3, bias = args[8:13]
+    out_ref = args[13]
     row_start = (pl.program_id(0) % nb) * rb
+    uz = jnp.concatenate(
+        [_wpad_flat(top[0], wp, width),
+         _wpad_flat(mid[0], wp, width),
+         _wpad_flat(bot[0], wp, width)], axis=0)  # [(rb+4)*wp, 4c]
+    muz = uz.shape[0]
+    # column-shifted copies for the up2 taps (token col J-1 / J+1)
+    uz_m = jnp.concatenate([uz[muz - 1:], uz[:muz - 1]], axis=0)
+    uz_p = jnp.concatenate([uz[1:], uz[:1]], axis=0)
+    by_co = {-1: uz_m, 0: uz, 1: uz_p}
+    m2 = (rb + 2) * wp
+
     us = []
-    for r in range(4):
-        top, mid, bot = refs12[3 * r], refs12[3 * r + 1], refs12[3 * r + 2]
-        us.append(jnp.concatenate(
-            [_wpad_flat(top[0], wp, width),
-             _wpad_flat(mid[0], wp, width),
-             _wpad_flat(bot[0], wp, width)], axis=0))
-    mu = us[0].shape[0]
+    for r, wu in enumerate((u0, u1, u2, u3)):
+        i1, j1 = r // 2, r % 2
+        slabs = []
+        for di in (0, 1):
+            for dj in (0, 1):
+                co = dj - (1 - j1)
+                base = (di + i1) * wp
+                slabs.append(by_co[co][base:base + m2])
+        lhs = jnp.concatenate(slabs, axis=1)
+        acc = jnp.dot(lhs, wu[:], preferred_element_type=jnp.float32)
+        acc = acc + bias2[:]
+        y = _lrelu(acc.astype(uz.dtype))
+        # out-of-image rows/pad cols of the stage-2 output are ZERO
+        # (conv_hr's SAME semantics at 4x) — computed-from-zero-pad
+        # values here are lrelu(bias), so mask them explicitly
+        us.append(_mask2d(y, wp, width, row_start - 1, h_img))
+    mu = m2
     mo = mu - 2 * wp
 
     def slab(py, px):
@@ -261,24 +308,24 @@ def _last_kernel(top_ref, mid_ref, bot_ref, w, bias, out_ref,
     out_ref[0] = out[:, PAD:PAD + width]
 
 
-def _edge_windows(x, rb, nb):
+def _edge_windows(x, rb, nb, halo=1):
     """x [B, H, W, ch] -> (tops, mid, bots) blocked for an rb-row grid
-    with one zero halo row above/below the image."""
+    with `halo` zero rows above/below the image."""
     b, h, wd, ch = x.shape
-    xh = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    mid = xh[:, 1:1 + h].reshape(b * nb, rb, wd, ch)
-    tops = jnp.stack([xh[:, i * rb:i * rb + 1] for i in range(nb)],
-                     axis=1).reshape(b * nb, 1, wd, ch)
-    bots = jnp.stack([xh[:, 1 + (i + 1) * rb:2 + (i + 1) * rb]
-                      for i in range(nb)],
-                     axis=1).reshape(b * nb, 1, wd, ch)
+    xh = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    mid = xh[:, halo:halo + h].reshape(b * nb, rb, wd, ch)
+    tops = jnp.stack([xh[:, i * rb:i * rb + halo] for i in range(nb)],
+                     axis=1).reshape(b * nb, halo, wd, ch)
+    bots = jnp.stack([xh[:, halo + (i + 1) * rb:
+                         2 * halo + (i + 1) * rb] for i in range(nb)],
+                     axis=1).reshape(b * nb, halo, wd, ch)
     return tops, mid, bots
 
 
-def _specs(rb, wd, ch):
+def _specs(rb, wd, ch, halo=1):
     spec_mid = pl.BlockSpec((1, rb, wd, ch), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    spec_edge = pl.BlockSpec((1, 1, wd, ch), lambda i: (i, 0, 0, 0),
+    spec_edge = pl.BlockSpec((1, halo, wd, ch), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     return spec_edge, spec_mid, spec_edge
 
@@ -288,27 +335,24 @@ def _const_spec(t):
                         memory_space=pltpu.VMEM)
 
 
-def _run_hr(ys4, weights, *, rb, wp, width, nb, h_img, c, interpret):
-    b, h, wd, c4 = ys4[0].shape
-    ins, in_specs = [], []
-    for y in ys4:
-        tops, mid, bots = _edge_windows(y, rb, nb)
-        ins += [tops, mid, bots]
-        in_specs += list(_specs(rb, wd, c4))
+def _run_up2hr(z1, weights, *, rb, wp, width, nb, h_img, c, interpret):
+    b, h, wd, c4 = z1.shape
+    tops, mid, bots = _edge_windows(z1, rb, nb, halo=2)
     out = pl.pallas_call(
-        partial(_hr_kernel, rb=rb, wp=wp, width=width, nb=nb, h_img=h,
+        partial(_up2hr_kernel, rb=rb, wp=wp, width=width, nb=nb, h_img=h,
                 c=c),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         grid=(b * nb,),
-        in_specs=in_specs + [_const_spec(t) for t in weights],
+        in_specs=list(_specs(rb, wd, c4, halo=2))
+        + [_const_spec(t) for t in weights],
         out_specs=pl.BlockSpec((1, rb, wp, 16 * c),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp, 16 * c),
-                                       ys4[0].dtype),
+                                       z1.dtype),
         interpret=interpret,
-    )(*ins, *weights)
+    )(tops, mid, bots, *weights)
     return out.reshape(b, h, wp, 16 * c)
 
 
@@ -345,26 +389,31 @@ def pick_rb(h: int, wp: int, per_token_bytes: int,
     return best
 
 
-def phase_hr_last(ys4, k_hr, b_hr, k_last, b_last, width,
+def phase_hr_last(z1, kfp, bias2, k_hr, b_hr, k_last, b_last, width,
                   interpret=False, rb=None):
-    """ys4: the 4 permuted stage-2 phase conv outputs, each
-    [B, H, width, 4c] (UNPADDED width; ref r = i1*2+j1, channel
-    (i2*2+j2)*c+f — see infer/phase_tail.permute_up2). Returns
-    [B, H, width, 16*cout] with channel c*16+a*4+b, ready for d2s(4):
-    conv_hr -> lrelu -> conv_last in phase space."""
-    b, h, w, c4 = ys4[0].shape
+    """z1: the stage-1 phase tensor [B, H, width, 4c] (UNPADDED width;
+    the lrelu'd up1 conv output). kfp/bias2: the output-permuted folded
+    stage-2 kernel [2,2,2,2,4c,4c] + bias (infer/phase_tail.permute_up2).
+    Returns [B, H, width, 16*cout] with channel c*16+a*4+b, ready for
+    d2s(4): stage-2 phase convs -> conv_hr -> lrelu -> conv_last, all
+    in phase space (the stage-2 outputs never leave VMEM)."""
+    b, h, w, c4 = z1.shape
     c = c4 // 4
     wp = pack_width(width)
-    ws, bias_hr = hr_group_weights(k_hr, b_hr, ys4[0].dtype)
-    w_last, bias_last = last_weights(k_last, b_last, ys4[0].dtype)
+    ws2, b2 = up2_tap_weights(kfp, bias2, z1.dtype)
+    ws, bias_hr = hr_group_weights(k_hr, b_hr, z1.dtype)
+    w_last, bias_last = last_weights(k_last, b_last, z1.dtype)
     cout = np.asarray(k_last).shape[3]
     # VMEM per token (bf16): the 16c-lane in AND out windows are
     # DOUBLE-buffered by the pipeline (2*2*16c) + shifts 8c + lhs 18c +
-    # f32 acc 8c -> ~98c*2B (measured: rb=47 at c=64 wants 154M).
-    rb_hr = rb or pick_rb(h, wp, 2 * 98 * c)
+    # f32 acc 8c -> ~98c*2B (measured: rb=47 at c=64 wants 154M); the
+    # fused up2 stage adds ~4c z1 windows + 12c y slabs + 16c up2
+    # lhs/acc -> count ~130c.
+    rb_hr = rb or pick_rb(h, wp, 2 * 130 * c)
     rb_l = rb or pick_rb(h, wp, 2 * 98 * c)
-    y = _run_hr(ys4, list(ws) + [bias_hr], rb=rb_hr, wp=wp, width=width,
-                nb=h // rb_hr, h_img=h, c=c, interpret=interpret)
+    y = _run_up2hr(z1, list(ws2) + [b2] + list(ws) + [bias_hr],
+                   rb=rb_hr, wp=wp, width=width, nb=h // rb_hr,
+                   h_img=h, c=c, interpret=interpret)
     out = _run_last(y, [w_last, bias_last], rb=rb_l, width=width,
                     nb=h // rb_l, h_img=h, c=c, cout=cout,
                     interpret=interpret)
