@@ -4,4 +4,7 @@ from superresolution_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
-from superresolution_tpu.parallel.spatial import spatial_shard_apply  # noqa: F401
+from superresolution_tpu.parallel.spatial import (  # noqa: F401
+    make_spatial_loss,
+    spatial_shard_apply,
+)

@@ -66,3 +66,66 @@ def spatial_shard_apply(mesh: Mesh, fn, img: jnp.ndarray, halo: int,
         return out[:, halo * scale: out.shape[1] - halo * scale]
 
     return run(img)
+
+
+def make_spatial_loss(mesh: Mesh, apply_fn, loss_sum_fn, halo: int,
+                      scale: int):
+    """Spatial-parallel TRAINING objective: loss_fn(params, lr, hr) with
+    the image rows sharded over the 'spatial' mesh axis.
+
+    The SR-net forward runs per-chip on a halo-padded row block (halo
+    exchange over ICI via ppermute, like spatial_shard_apply); the
+    global top/bottom halos are ZERO rows. The sharded computation is
+    then EXACTLY the unsharded forward applied to the halo-zero-padded
+    image and cropped — a well-defined objective whose interior
+    (everything but the halo*scale border band) coincides with plain
+    unsharded training whenever the net's half receptive field <= halo
+    (the tiled-inference contract, infer/tiled.py). Loss and gradients
+    match that single-device reference to f.p. reassociation
+    (tests/test_parallel.py::test_spatial_train_grads_match_single).
+    Gradients flow through the ppermute exchange automatically (its
+    transpose is the reverse permutation) and reduce over the mesh via
+    the psum.
+
+    apply_fn(params, lr_block) -> upscaled block; loss_sum_fn(pred, hr)
+    must return the SUM of per-element losses (sum-decomposable over
+    row shards — the mean is taken here over the global element count).
+
+    Differentiate with jax.value_and_grad as usual:
+        loss_fn = make_spatial_loss(mesh, apply, l1_sum, halo, scale)
+        loss, grads = jax.value_and_grad(loss_fn)(params, lr, hr)
+    """
+    n = mesh.shape["spatial"]
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+
+    def loss_fn(params, lr, hr):
+        h = lr.shape[1]
+        if n > 1 and h % n:
+            raise ValueError(f"H={h} not divisible by spatial size {n}")
+        if n > 1 and h // n < halo:
+            raise ValueError(f"block height {h // n} < halo {halo}")
+        denom = jnp.asarray(hr.size, jnp.float32)
+
+        if n == 1:
+            return loss_sum_fn(apply_fn(params, lr), hr) / denom
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(None, "spatial", None, None),
+                           P(None, "spatial", None, None)),
+                 out_specs=P())
+        def run(params, blk, hr_blk):
+            idx = lax.axis_index("spatial")
+            from_above = lax.ppermute(blk[:, -halo:], "spatial", fwd)
+            from_below = lax.ppermute(blk[:, :halo], "spatial", bwd)
+            zeros = jnp.zeros_like(blk[:, :halo])
+            top = jnp.where(idx == 0, zeros, from_above)
+            bot = jnp.where(idx == n - 1, zeros, from_below)
+            padded = jnp.concatenate([top, blk, bot], axis=1)
+            out = apply_fn(params, padded)
+            out = out[:, halo * scale: out.shape[1] - halo * scale]
+            return lax.psum(loss_sum_fn(out, hr_blk), "spatial")
+
+        return run(params, lr, hr) / denom
+
+    return loss_fn

@@ -119,3 +119,40 @@ def test_hybrid_attention_dp_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
     assert abs(float(ref_logs["total"]) - float(dp_logs["total"])) < 1e-5
+
+
+@requires_8
+def test_spatial_train_grads_match_single(rng):
+    """Spatial-parallel TRAINING (make_spatial_loss): loss and parameter
+    gradients through the ICI halo exchange + psum must equal the
+    single-device halo-zero-padded reference objective exactly (the
+    interior coincides with plain training when half-RF <= halo)."""
+    from superresolution_tpu.parallel import make_spatial_loss
+
+    mesh = create_mesh(MeshConfig(data=1, spatial=8))
+    model = ESPCN(scale=2, in_channels=1, out_channels=1, f1=8, f2=8)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)))
+    halo, scale = 8, 2
+
+    def apply_fn(p, x):
+        return model.apply(p, x)
+
+    def l1_sum(pred, hr):
+        return jnp.sum(jnp.abs(pred - hr))
+
+    lr = jnp.asarray(rng.random((1, 128, 32, 1), dtype=np.float32))
+    hr = jnp.asarray(rng.random((1, 256, 64, 1), dtype=np.float32))
+
+    loss_fn = make_spatial_loss(mesh, apply_fn, l1_sum, halo, scale)
+    loss_s, grads_s = jax.value_and_grad(loss_fn)(params, lr, hr)
+
+    def ref_loss(p, lr, hr):
+        x = jnp.pad(lr, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+        out = apply_fn(p, x)[:, halo * scale:-halo * scale]
+        return l1_sum(out, hr) / hr.size
+
+    loss_r, grads_r = jax.value_and_grad(ref_loss)(params, lr, hr)
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
