@@ -46,15 +46,17 @@ def main() -> None:
                     num_blocks=23, growth=32, upsampler="pixelshuffle")
     policy = get_policy("bf16")
     # tile geometry tuned for v5e: rectangular 360x240 tiles divide
-    # 1920x1080 in a 3x8 grid with ZERO padding waste; the trunk runs all
-    # 24 tiles in one batch, the x4-resolution tail maps in chunks of 6.
-    # Narrower tiles raise the fused dense-block kernel's row block to
-    # rb=94 (wp=272: 376 = 4x94 fits the VMEM row budget) — per-block
-    # halo FLOP overhead 1+10/rb drops 1.213x -> 1.106x, which beats the
-    # extra tile-halo area (1.088x -> 1.114x): combined 1.319x -> 1.233x.
+    # 1920x1080 in a 3x8 grid with ZERO padding waste; trunk AND tail
+    # run all 24 tiles in one batch — the phase-space tail keeps every
+    # intermediate at LR resolution, so the x4 HBM pressure that forced
+    # chunked tail mapping is gone (tb sweep: 6 -> 1.465, 12 -> 1.480,
+    # 24 -> 1.490 MP/s). Narrower tiles raise the fused dense-block
+    # kernel's row block to rb=94 (wp=272: 376 = 4x94 fits the VMEM row
+    # budget) — per-block halo FLOP overhead 1+10/rb drops 1.213x ->
+    # 1.106x, which beats the extra tile-halo area (1.088x -> 1.114x).
     # halo 8: BasicSR's own ESRGAN tiler uses tile_pad=10, and measured
     # seam error at halo 8 vs 48 is within bf16 noise (exp_r2 seam sweep).
-    tile, halo, batch = (360, 240), 8, 6
+    tile, halo, batch = (360, 240), 8, 24
     h, w = 1080, 1920  # 2K-resolution input
 
     # init under jit: eager per-op dispatch through the TPU tunnel is slow
