@@ -348,25 +348,30 @@ def _kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref=None,
         o2 = jnp.where(ok, o2, jnp.asarray(0, o2.dtype))
         return o2.reshape(mo, n)
 
+    # Incremental cascade: each stage's pre-activation accumulator is
+    # seeded from the px slice and every p_i's slices are distributed
+    # the moment p_i is produced (ascending j — the SAME f.p. add order
+    # as the materialize-all form, bit-identical), so p_i and px die
+    # early instead of persisting to the end: peak VMEM per token drops
+    # ~900 B, which is what admits larger row blocks.
     px = rconv(xf, a_px, b_px, c_px, 1, bias_px)
-    ps = []  # p1..p4 outputs
-    ys = [_lrelu(px[:, 0:g])]
+    mo = (xf.shape[0] - 2 * wp) - 8 * wp  # output rows after 5 convs
+    m_of = [px.shape[0] - 2 * i * wp for i in range(5)]  # stage extents
+    pre = [px[i * wp:i * wp + m_of[i], i * g:(i + 1) * g]
+           for i in range(1, 4)]  # stage 2..4 accumulators
+    acc = px[4 * wp:4 * wp + mo, 4 * g:]
+    y = _lrelu(px[:, 0:g])
     pw = [(a_1, b_1, c_1), (a_2, b_2, c_2), (a_3, b_3, c_3),
           (a_4, b_4, c_4)]
     for i in range(1, 5):
-        p_i = rconv(ys[-1], *pw[i - 1], i + 1)
-        ps.append(p_i)
-        m = p_i.shape[0]
+        p_i = rconv(y, *pw[i - 1], i + 1)
+        for k in range(i, 4):  # p_i's slice for stage k+1's pre
+            pre[k - 1] = pre[k - 1] + p_i[(k - i) * wp:
+                                          (k - i) * wp + m_of[k],
+                                          (k - i) * g:(k - i + 1) * g]
+        acc = acc + p_i[(4 - i) * wp:(4 - i) * wp + mo, (4 - i) * g:]
         if i < 4:
-            pre = px[i * wp:i * wp + m, i * g:(i + 1) * g]
-            for j in range(1, i + 1):
-                pre = pre + ps[j - 1][(i - j) * wp:(i - j) * wp + m,
-                                      (i - j) * g:(i - j + 1) * g]
-            ys.append(_lrelu(pre))
-    mo = ps[-1].shape[0]
-    acc = px[4 * wp:4 * wp + mo, 4 * g:]
-    for j in range(1, 5):
-        acc = acc + ps[j - 1][(4 - j) * wp:(4 - j) * wp + mo, (4 - j) * g:]
+            y = _lrelu(pre[i - 1])
     xc = xf[HALO * wp:HALO * wp + mo]
     out = xc + acc * jnp.asarray(0.2, xc.dtype)
     out_ref[0] = out.reshape(rb, wp, c)
