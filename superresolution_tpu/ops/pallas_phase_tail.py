@@ -56,6 +56,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from superresolution_tpu.ops.pallas_windows import (
+    const_spec,
+    edge_windows,
+    window_specs,
+)
+
 PAD = 8
 
 # Mosaic scoped-VMEM ceiling for these kernels. 127 MB works when the
@@ -308,44 +314,17 @@ def _last_kernel(top_ref, mid_ref, bot_ref, w, bias, out_ref,
     out_ref[0] = out[:, PAD:PAD + width]
 
 
-def _edge_windows(x, rb, nb, halo=1):
-    """x [B, H, W, ch] -> (tops, mid, bots) blocked for an rb-row grid
-    with `halo` zero rows above/below the image."""
-    b, h, wd, ch = x.shape
-    xh = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
-    mid = xh[:, halo:halo + h].reshape(b * nb, rb, wd, ch)
-    tops = jnp.stack([xh[:, i * rb:i * rb + halo] for i in range(nb)],
-                     axis=1).reshape(b * nb, halo, wd, ch)
-    bots = jnp.stack([xh[:, halo + (i + 1) * rb:
-                         2 * halo + (i + 1) * rb] for i in range(nb)],
-                     axis=1).reshape(b * nb, halo, wd, ch)
-    return tops, mid, bots
-
-
-def _specs(rb, wd, ch, halo=1):
-    spec_mid = pl.BlockSpec((1, rb, wd, ch), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    spec_edge = pl.BlockSpec((1, halo, wd, ch), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
-    return spec_edge, spec_mid, spec_edge
-
-
-def _const_spec(t):
-    return pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
-                        memory_space=pltpu.VMEM)
-
-
 def _run_up2hr(z1, weights, *, rb, wp, width, nb, h_img, c, interpret):
     b, h, wd, c4 = z1.shape
-    tops, mid, bots = _edge_windows(z1, rb, nb, halo=2)
+    tops, mid, bots = edge_windows(z1, rb, nb, halo=2)
     out = pl.pallas_call(
         partial(_up2hr_kernel, rb=rb, wp=wp, width=width, nb=nb, h_img=h,
                 c=c),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         grid=(b * nb,),
-        in_specs=list(_specs(rb, wd, c4, halo=2))
-        + [_const_spec(t) for t in weights],
+        in_specs=list(window_specs(rb, wd, c4, halo=2))
+        + [const_spec(t) for t in weights],
         out_specs=pl.BlockSpec((1, rb, wp, 16 * c),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -358,15 +337,15 @@ def _run_up2hr(z1, weights, *, rb, wp, width, nb, h_img, c, interpret):
 
 def _run_last(x, weights, *, rb, width, nb, h_img, c, cout, interpret):
     b, h, wp, cp = x.shape
-    tops, mid, bots = _edge_windows(x, rb, nb)
+    tops, mid, bots = edge_windows(x, rb, nb)
     out = pl.pallas_call(
         partial(_last_kernel, rb=rb, wp=wp, width=width, nb=nb, h_img=h,
                 c=c, cout=cout),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         grid=(b * nb,),
-        in_specs=list(_specs(rb, wp, cp))
-        + [_const_spec(t) for t in weights],
+        in_specs=list(window_specs(rb, wp, cp))
+        + [const_spec(t) for t in weights],
         out_specs=pl.BlockSpec((1, rb, width, 16 * cout),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -108,7 +108,12 @@ def make_spatial_loss(mesh: Mesh, apply_fn, loss_sum_fn, halo: int,
         denom = jnp.asarray(hr.size, jnp.float32)
 
         if n == 1:
-            return loss_sum_fn(apply_fn(params, lr), hr) / denom
+            # same objective as the sharded path (zero-halo pad + crop),
+            # so the loss does not depend on the device count
+            x = jnp.pad(lr, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+            out = apply_fn(params, x)
+            out = out[:, halo * scale: out.shape[1] - halo * scale]
+            return loss_sum_fn(out, hr) / denom
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(), P(None, "spatial", None, None),

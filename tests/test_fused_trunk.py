@@ -100,36 +100,3 @@ def test_fused_rrdb_model_matches_apply():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=0.05, rtol=0.08)
 
-
-def test_pair_dense_block_matches_roll():
-    """The 2-column-phase pair kernel (one full-fill dot per conv) is
-    math-identical to the shipped roll-conv kernel. Measured a WASH on
-    chip at matched width (BENCHMARKS.md round-4 'machinery-bound');
-    kept as the documented experiment + the alignment rules it found."""
-    from superresolution_tpu.ops.pallas_dense_trunk import (
-        fused_dense_block_pair,
-        pack_pair,
-        pair_weights,
-    )
-
-    rng = np.random.default_rng(0)
-    c, g = 16, 8
-
-    def mk(shape):
-        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.1)
-
-    dense_params = {"Conv_0": {"Conv_0": {
-        "kernel": mk((3, 3, c, 4 * g + c)), "bias": mk((4 * g + c,))}}}
-    for i in range(1, 5):
-        dense_params[f"proj_y{i}"] = {
-            "kernel": mk((3, 3, g, (4 - i) * g + c))}
-
-    x = mk((2, 12, 20, c))
-    xp = pack_pair(x)
-    ref = fused_dense_block(xp, proj_weights(dense_params, jnp.float32),
-                            width=20, rb=4, interpret=True)
-    got = fused_dense_block_pair(
-        xp, pair_weights(dense_params, jnp.float32), width=20, rb=4,
-        interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=3e-5, rtol=1e-4)

@@ -156,3 +156,10 @@ def test_spatial_train_grads_match_single(rng):
     for a, b in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+    # the n==1 fast path computes the SAME objective (no dependence of
+    # the training loss on the device count)
+    mesh1 = create_mesh(MeshConfig(data=1, spatial=1))
+    loss1_fn = make_spatial_loss(mesh1, apply_fn, l1_sum, halo, scale)
+    np.testing.assert_allclose(float(loss1_fn(params, lr, hr)),
+                               float(loss_r), rtol=1e-5)
