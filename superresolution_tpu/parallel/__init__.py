@@ -4,6 +4,11 @@ from superresolution_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from superresolution_tpu.parallel.pipeline import (  # noqa: F401
+    make_trunk_pipeline,
+    pipeline_apply,
+    split_scan_params,
+)
 from superresolution_tpu.parallel.spatial import (  # noqa: F401
     make_spatial_loss,
     spatial_shard_apply,

@@ -1,0 +1,172 @@
+"""Pipeline parallelism: model stages sharded across a 'pipe' mesh axis.
+
+The TPU-native pipeline: stage weights live sharded on the leading axis
+of a stacked param tree (one slice per device), and microbatches flow
+device-to-device over ICI via `lax.ppermute` inside `shard_map` — the
+SPMD collective-permute schedule from the public scaling playbook, not
+a multi-process send/recv runtime. Every device runs the SAME traced
+program; device d at ring step t works on microbatch t-d, so the
+pipeline fills in P-1 steps and drains in P-1 steps (bubble fraction
+(P-1)/(M+P-1) for M microbatches).
+
+Because the whole schedule is ordinary differentiable lax (ppermute,
+scan, dynamic slicing), `jax.grad` through `pipeline_apply` IS the
+backward pipeline — the transposed ppermutes run the reverse schedule
+automatically, and each device's stage-weight gradients materialize
+already sharded on the pipe axis.
+
+The reference is a single-GPU torch pipeline-free design (reference
+scripts/Modello_supporto.py wraps one nn.DataParallel model); this
+module is the capability the SURVEY section-5 distributed-backend row
+calls for when a model's weights or activations exceed one chip. For
+SuperResolution the natural pipelined body is the RRDB trunk — 23
+identical residual blocks already scan-stacked on a leading axis
+(models/rrdbnet.py) — so `split_scan_params` re-slices that stack into
+per-stage groups directly. 23 is prime, so stages carry zero-padded
+slots with a validity mask (`jnp.where(valid, block(x), x)`); the pad
+slots burn one block of FLOPs per extra slot but keep the program SPMD.
+
+Composes with the other axes: dp shards the microbatch dim, spatial
+(parallel/spatial.py) shards rows, pipe shards depth. See
+__graft_entry__.dryrun_multichip for the combined smoke test.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.7 public API; fall back for older versions
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def pipeline_apply(mesh: Mesh, stage_fn, stage_params, x, *,
+                   axis: str = "pipe"):
+    """Apply P sequential stages to M microbatches, pipelined over `axis`.
+
+    stage_fn(params_slice, u) -> v: ONE stage; must be shape-preserving
+        (v.shape == u.shape) so activations can ride the ppermute ring.
+    stage_params: pytree whose leaves all have leading axis P (one
+        slice per stage, in stage order). Device d consumes slice d.
+    x: [M, ...] microbatches (M >= 1), replicated over the mesh.
+
+    Returns [M, ...]: for each microbatch, stage_{P-1}(...stage_0(mb)),
+    replicated. Exactly equal to the sequential loop (same ops in the
+    same order on each device; the ring only moves data).
+    """
+    n = mesh.shape[axis]
+    num_stages = jax.tree.leaves(stage_params)[0].shape[0]
+    if num_stages != n:
+        raise ValueError(
+            f"stage_params has {num_stages} stages for a {n}-device"
+            f" '{axis}' axis")
+    if n == 1:
+        return jax.vmap(lambda u: stage_fn(
+            jax.tree.map(lambda l: l[0], stage_params), u))(x)
+    m = x.shape[0]
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P()), out_specs=P())
+    def run(sp, xs):
+        sp = jax.tree.map(lambda l: l[0], sp)  # this device's stage
+        idx = lax.axis_index(axis)
+
+        def step(carry, t):
+            state, out = carry
+            incoming = lax.ppermute(state, axis, perm)
+            feed = lax.dynamic_index_in_dim(
+                xs, jnp.minimum(t, m - 1), 0, keepdims=False)
+            u = jnp.where(idx == 0, feed, incoming)
+            y = stage_fn(sp, u)
+            # device n-1's product at step t is microbatch t-(n-1) done
+            o = jnp.clip(t - (n - 1), 0, m - 1)
+            write = (idx == n - 1) & (t >= n - 1)
+            cur = lax.dynamic_index_in_dim(out, o, 0, keepdims=False)
+            out = lax.dynamic_update_index_in_dim(
+                out, jnp.where(write, y, cur), o, 0)
+            return (y, out), None
+
+        # the carry is device-varying (ppermute / axis_index); mark the
+        # replicated zero init accordingly for shard_map's vma typing
+        init = jax.tree.map(
+            lambda z: lax.pcast(z, (axis,), to="varying"),
+            (jnp.zeros_like(xs[0]), jnp.zeros_like(xs)))
+        (_, out), _ = lax.scan(step, init, jnp.arange(m + n - 1))
+        # only the last device's buffer is real; psum broadcasts it
+        return lax.psum(
+            jnp.where(idx == n - 1, out, jnp.zeros_like(out)), axis)
+
+    return run(stage_params, x)
+
+
+def split_scan_params(stacked, num_items: int, n_stages: int):
+    """Re-slice scan-stacked params [num_items, ...] into per-stage groups.
+
+    Returns (blocks, valid): blocks has leaves [n_stages, slots, ...]
+    (zero-padded past num_items), valid is [n_stages, slots] bool. Feed
+    both to a stage_fn that scans its slots and skips invalid ones.
+    """
+    slots = math.ceil(num_items / n_stages)
+    pad = n_stages * slots - num_items
+
+    def resplit(leaf):
+        if leaf.shape[0] != num_items:
+            raise ValueError(
+                f"leaf leading axis {leaf.shape[0]} != {num_items}")
+        if pad:
+            leaf = jnp.concatenate(
+                [leaf, jnp.zeros((pad,) + leaf.shape[1:], leaf.dtype)])
+        return leaf.reshape((n_stages, slots) + leaf.shape[1:])
+
+    blocks = jax.tree.map(resplit, stacked)
+    valid = (jnp.arange(n_stages * slots) < num_items).reshape(
+        n_stages, slots)
+    return blocks, valid
+
+
+def stage_sharding(mesh: Mesh, axis: str = "pipe") -> NamedSharding:
+    """Sharding that places one stage slice per device on `axis`."""
+    return NamedSharding(mesh, P(axis))
+
+
+def make_trunk_pipeline(mesh: Mesh, model, params, *, axis: str = "pipe",
+                        dtype=None):
+    """Pipeline the RRDBNet trunk body over the `axis` mesh axis.
+
+    model: an RRDBNet with scan_blocks=True (weights stacked [num_blocks]
+    under params['body']). Returns fn(x_microbatches: [M, mb, H, W, C])
+    -> [M, mb, H, W, C] equal to scanning all blocks on one device
+    (conv_first / trunk_conv / tail stay outside — they are tiny and run
+    replicated; see RRDBNet.trunk).
+    """
+    from superresolution_tpu.models.rrdbnet import RRDB
+
+    n = mesh.shape[axis]
+    body = params["params"]["body"] if "params" in params else params["body"]
+    if dtype is not None:
+        body = jax.tree.map(lambda l: l.astype(dtype), body)
+    blocks, valid = split_scan_params(body, model.num_blocks, n)
+    stage_params = {"blocks": blocks, "valid": valid}
+    rrdb = RRDB(model.features, model.growth, model.fused_dense)
+
+    def stage_fn(sp, u):
+        def body_step(h, wv):
+            w, v = wv
+            y = rrdb.apply({"params": w["RRDB_0"]}, h)
+            return jnp.where(v, y, h), None
+
+        h, _ = lax.scan(body_step, u, (sp["blocks"], sp["valid"]))
+        return h
+
+    def apply(x_microbatches):
+        return pipeline_apply(mesh, stage_fn, stage_params,
+                              x_microbatches, axis=axis)
+
+    return apply

@@ -1,0 +1,137 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the 8-device CPU mesh:
+forward equivalence vs the sequential stage loop, backward-pipeline
+gradients via plain jax.grad, and the RRDB-trunk mapping with masked
+pad slots (23-is-prime case)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import Mesh
+
+from superresolution_tpu.models.rrdbnet import RRDB, RRDBNet
+from superresolution_tpu.parallel.pipeline import (
+    make_trunk_pipeline,
+    pipeline_apply,
+    split_scan_params,
+)
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def pipe_mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("pipe",))
+
+
+def dense_stage(sp, u):
+    return jnp.tanh(u @ sp["w"] + sp["b"])
+
+
+def make_dense_stages(key, n_stages, d):
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.normal(kw, (n_stages, d, d)) * 0.3,
+        "b": jax.random.normal(kb, (n_stages, d)) * 0.1,
+    }
+
+
+def sequential(stage_fn, sp, x):
+    outs = []
+    n = jax.tree.leaves(sp)[0].shape[0]
+    for m in range(x.shape[0]):
+        u = x[m]
+        for s in range(n):
+            u = stage_fn(jax.tree.map(lambda l: l[s], sp), u)
+        outs.append(u)
+    return jnp.stack(outs)
+
+
+@requires_8
+@pytest.mark.parametrize("n_stages,n_micro", [(8, 8), (4, 6), (2, 1)])
+def test_pipeline_matches_sequential(rng, n_stages, n_micro):
+    mesh = pipe_mesh(n_stages)
+    sp = make_dense_stages(jax.random.key(0), n_stages, 16)
+    x = jax.random.normal(jax.random.key(1), (n_micro, 3, 16))
+    got = jax.jit(lambda s, u: pipeline_apply(mesh, dense_stage, s, u))(
+        sp, x)
+    ref = sequential(dense_stage, sp, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+@requires_8
+def test_pipeline_stage_count_mismatch_raises(rng):
+    mesh = pipe_mesh(4)
+    sp = make_dense_stages(jax.random.key(0), 3, 8)
+    with pytest.raises(ValueError, match="3 stages"):
+        pipeline_apply(mesh, dense_stage, sp,
+                       jnp.zeros((2, 1, 8)))
+
+
+@requires_8
+def test_pipeline_grads_match_sequential(rng):
+    """jax.grad through the ring IS the backward pipeline; the stage-
+    weight gradients must equal the sequential loop's."""
+    n_stages, n_micro = 4, 5
+    mesh = pipe_mesh(n_stages)
+    sp = make_dense_stages(jax.random.key(2), n_stages, 8)
+    x = jax.random.normal(jax.random.key(3), (n_micro, 2, 8))
+    tgt = jax.random.normal(jax.random.key(4), (n_micro, 2, 8))
+
+    def loss_pipe(s):
+        out = pipeline_apply(mesh, dense_stage, s, x)
+        return jnp.mean((out - tgt) ** 2)
+
+    def loss_seq(s):
+        return jnp.mean((sequential(dense_stage, s, x) - tgt) ** 2)
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(sp)
+    g_seq = jax.grad(loss_seq)(sp)
+    for k in sp:
+        np.testing.assert_allclose(np.asarray(g_pipe[k]),
+                                   np.asarray(g_seq[k]),
+                                   atol=1e-6, rtol=1e-5)
+
+
+@requires_8
+def test_split_scan_params_pads_and_masks():
+    stacked = {"k": jnp.arange(5, dtype=jnp.float32).reshape(5, 1)}
+    blocks, valid = split_scan_params(stacked, 5, 4)
+    assert blocks["k"].shape == (4, 2, 1)
+    np.testing.assert_array_equal(
+        np.asarray(valid),
+        [[True, True], [True, True], [True, False], [False, False]])
+    # pad slots are zeros
+    assert float(blocks["k"][2, 1, 0]) == 0.0
+    assert float(blocks["k"][3, 0, 0]) == 0.0
+
+
+@requires_8
+def test_trunk_pipeline_matches_sequential_blocks(rng):
+    """RRDBNet body (5 blocks, prime-ish over 4 stages -> masked pad
+    slots) pipelined over 'pipe' equals the sequential block loop."""
+    model = RRDBNet(scale=4, in_channels=3, features=8, num_blocks=5,
+                    growth=4, scan_blocks=True, fused_dense=True)
+    x_init = jnp.zeros((1, 8, 8, 3))
+    params = model.init(jax.random.key(0), x_init)
+    mesh = pipe_mesh(4)
+
+    m, mb = 3, 2
+    feats = jax.random.normal(jax.random.key(1), (m, mb, 8, 8, 8)) * 0.3
+    apply = make_trunk_pipeline(mesh, model, params)
+    got = jax.jit(apply)(feats)
+
+    body = params["params"]["body"]
+    rrdb = RRDB(model.features, model.growth, model.fused_dense)
+    ref = []
+    for i in range(m):
+        u = feats[i]
+        for b in range(model.num_blocks):
+            w = jax.tree.map(lambda l: l[b], body)
+            u = rrdb.apply({"params": w["RRDB_0"]}, u)
+        ref.append(u)
+    ref = jnp.stack(ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
