@@ -136,24 +136,10 @@ def stage_sharding(mesh: Mesh, axis: str = "pipe") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
-def make_trunk_pipeline(mesh: Mesh, model, params, *, axis: str = "pipe",
-                        dtype=None):
-    """Pipeline the RRDBNet trunk body over the `axis` mesh axis.
-
-    model: an RRDBNet with scan_blocks=True (weights stacked [num_blocks]
-    under params['body']). Returns fn(x_microbatches: [M, mb, H, W, C])
-    -> [M, mb, H, W, C] equal to scanning all blocks on one device
-    (conv_first / trunk_conv / tail stay outside — they are tiny and run
-    replicated; see RRDBNet.trunk).
-    """
+def _rrdb_stage_fn(model):
+    """stage_fn over a stage's {'blocks', 'valid'} slot group."""
     from superresolution_tpu.models.rrdbnet import RRDB
 
-    n = mesh.shape[axis]
-    body = params["params"]["body"] if "params" in params else params["body"]
-    if dtype is not None:
-        body = jax.tree.map(lambda l: l.astype(dtype), body)
-    blocks, valid = split_scan_params(body, model.num_blocks, n)
-    stage_params = {"blocks": blocks, "valid": valid}
     rrdb = RRDB(model.features, model.growth, model.fused_dense)
 
     def stage_fn(sp, u):
@@ -164,6 +150,78 @@ def make_trunk_pipeline(mesh: Mesh, model, params, *, axis: str = "pipe",
 
         h, _ = lax.scan(body_step, u, (sp["blocks"], sp["valid"]))
         return h
+
+    return stage_fn
+
+
+def make_pipeline_loss(mesh: Mesh, model, loss_sum_fn, n_micro: int, *,
+                       axis: str = "pipe"):
+    """Pipeline-parallel TRAINING objective for an RRDBNet: the 23-block
+    body runs pipelined over the `axis` mesh axis while conv_first /
+    trunk_conv / tail stay replicated (they are <2% of the FLOPs). The
+    per-sample math is IDENTICAL to the plain forward — microbatching a
+    conv net changes nothing per sample — so loss and grads match
+    single-device training up to f.p. determinism
+    (tests/test_pipeline_parallel.py::test_make_pipeline_loss_matches_plain).
+
+    loss_sum_fn(pred, hr) must return the SUM of per-element losses
+    (the mean is taken here), the same contract as make_spatial_loss.
+
+        loss_fn = make_pipeline_loss(mesh, model, l1_sum, n_micro=8)
+        loss, grads = jax.value_and_grad(loss_fn)(params, lr, hr)
+
+    Backward is the reverse-schedule pipeline jax.grad derives from the
+    ppermute ring; body-weight grads return in the stacked [num_blocks]
+    layout the optimizer already holds.
+    """
+    n = mesh.shape[axis]
+    stage_fn = _rrdb_stage_fn(model)
+
+    def loss_fn(params, lr, hr):
+        b = lr.shape[0]
+        if b % n_micro:
+            raise ValueError(f"batch {b} not divisible by n_micro {n_micro}")
+        x = lr
+        if model.pixel_unshuffle_input > 1:
+            from superresolution_tpu.ops.pixel_shuffle import space_to_depth
+
+            x = space_to_depth(x, model.pixel_unshuffle_input)
+        head = model.apply(params, x,
+                           method=lambda m, u: m.conv_first(u))
+        body = (params["params"]["body"] if "params" in params
+                else params["body"])
+        blocks, valid = split_scan_params(body, model.num_blocks, n)
+        micro = head.reshape((n_micro, b // n_micro) + head.shape[1:])
+        out = pipeline_apply(mesh, stage_fn,
+                             {"blocks": blocks, "valid": valid},
+                             micro, axis=axis)
+        feat = out.reshape(head.shape)
+        feat = model.apply(params, feat,
+                           method=lambda m, u: m.trunk_conv(u)) + head
+        pred = model.apply(params, feat, method="tail")
+        denom = jnp.asarray(hr.size, jnp.float32)
+        return loss_sum_fn(pred, hr) / denom
+
+    return loss_fn
+
+
+def make_trunk_pipeline(mesh: Mesh, model, params, *, axis: str = "pipe",
+                        dtype=None):
+    """Pipeline the RRDBNet trunk body over the `axis` mesh axis.
+
+    model: an RRDBNet with scan_blocks=True (weights stacked [num_blocks]
+    under params['body']). Returns fn(x_microbatches: [M, mb, H, W, C])
+    -> [M, mb, H, W, C] equal to scanning all blocks on one device
+    (conv_first / trunk_conv / tail stay outside — they are tiny and run
+    replicated; see RRDBNet.trunk).
+    """
+    n = mesh.shape[axis]
+    body = params["params"]["body"] if "params" in params else params["body"]
+    if dtype is not None:
+        body = jax.tree.map(lambda l: l.astype(dtype), body)
+    blocks, valid = split_scan_params(body, model.num_blocks, n)
+    stage_params = {"blocks": blocks, "valid": valid}
+    stage_fn = _rrdb_stage_fn(model)
 
     def apply(x_microbatches):
         return pipeline_apply(mesh, stage_fn, stage_params,

@@ -12,6 +12,7 @@ from jax.sharding import Mesh
 
 from superresolution_tpu.models.rrdbnet import RRDB, RRDBNet
 from superresolution_tpu.parallel.pipeline import (
+    make_pipeline_loss,
     make_trunk_pipeline,
     pipeline_apply,
     split_scan_params,
@@ -135,3 +136,78 @@ def test_trunk_pipeline_matches_sequential_blocks(rng):
     ref = jnp.stack(ref)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@requires_8
+def test_trunk_pipeline_grads_match_sequential(rng):
+    """Block-weight grads through the pipelined trunk equal the
+    sequential loop's; pad-slot grads exist but carry zero signal."""
+    from superresolution_tpu.parallel.pipeline import pipeline_apply
+
+    model = RRDBNet(scale=4, in_channels=3, features=8, num_blocks=3,
+                    growth=4, scan_blocks=True, fused_dense=True)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    body = params["params"]["body"]
+    mesh = pipe_mesh(2)
+    rrdb = RRDB(model.features, model.growth, model.fused_dense)
+    feats = jax.random.normal(jax.random.key(1), (2, 1, 8, 8, 8)) * 0.3
+
+    def loss_pipe(b):
+        blocks, valid = split_scan_params(b, model.num_blocks, 2)
+
+        def stage_fn(sp, u):
+            def step(h, wv):
+                w, v = wv
+                y = rrdb.apply({"params": w["RRDB_0"]}, h)
+                return jnp.where(v, y, h), None
+            h, _ = jax.lax.scan(step, u, (sp["blocks"], sp["valid"]))
+            return h
+
+        out = pipeline_apply(mesh, stage_fn,
+                             {"blocks": blocks, "valid": valid}, feats)
+        return jnp.mean(out ** 2)
+
+    def loss_seq(b):
+        outs = []
+        for i in range(feats.shape[0]):
+            u = feats[i]
+            for blk in range(model.num_blocks):
+                w = jax.tree.map(lambda l: l[blk], b)
+                u = rrdb.apply({"params": w["RRDB_0"]}, u)
+            outs.append(u)
+        return jnp.mean(jnp.stack(outs) ** 2)
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(body)
+    g_seq = jax.grad(loss_seq)(body)
+    for gp, gs in zip(jax.tree.leaves(g_pipe), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                                   atol=1e-6, rtol=1e-5)
+
+
+@requires_8
+def test_make_pipeline_loss_matches_plain(rng):
+    """Full pipeline-parallel training objective (replicated head/tail,
+    pipelined body) == plain model L1 loss, and so are ALL param grads
+    — the ring only reorders where each sample's convs run."""
+    model = RRDBNet(scale=2, in_channels=3, features=8, num_blocks=5,
+                    growth=4, scan_blocks=True, fused_dense=True)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    mesh = pipe_mesh(4)
+    lr = jax.random.uniform(jax.random.key(1), (4, 8, 8, 3))
+    hr = jax.random.uniform(jax.random.key(2), (4, 16, 16, 3))
+    l1_sum = lambda pred, t: jnp.sum(jnp.abs(pred - t))
+
+    loss_fn = make_pipeline_loss(mesh, model, l1_sum, n_micro=2)
+    loss_pp, g_pp = jax.jit(jax.value_and_grad(loss_fn))(params, lr, hr)
+
+    def plain(p):
+        return l1_sum(model.apply(p, lr), hr) / hr.size
+
+    loss_ref, g_ref = jax.value_and_grad(plain)(params)
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref), rtol=1e-6)
+    for gp, gs in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                                   atol=1e-5, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        loss_fn(params, lr[:3], hr[:3])
