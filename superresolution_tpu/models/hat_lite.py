@@ -337,6 +337,7 @@ class ResidualGroup(nn.Module):
     # hybrid at 512^2 within 16 GB HBM (same pattern as RRDBNet.remat)
     remat: bool = False
     flash_attn: bool = False
+    flash_oca: bool = False  # flash kernel for the group-end OCAB too
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -362,16 +363,18 @@ class ResidualGroup(nn.Module):
             y = HABlock(self.dim, self.num_heads, self.window_size, shift,
                         self.mlp_ratio, self.conv_scale, self.attn_f32,
                         self.flash_attn)(y)
-        # OCAB stays on the einsum path even when flash_attn is set:
-        # measured on the hybrid workload (benchmarks/exp_r3_hybrid_flash),
-        # the cross-attn kernel's m=144 N-padding + masked-K FLOP overhead
-        # exceeds its logits-traffic savings at ws=8 (350.7 vs 343.2
-        # ms/batch). OCAB.flash remains available for direct use (e.g.
-        # ws=16 'H200' windows where the logits tensor is 4x larger).
+        # OCAB stays on the einsum path at ws=8 even when flash_attn is
+        # set: measured on the hybrid workload (benchmarks/
+        # exp_r3_hybrid_flash), the cross-attn kernel's m=144 N-padding +
+        # masked-K FLOP overhead exceeds its logits-traffic savings
+        # (350.7 vs 343.2 ms/batch). flash_oca opts in where the OCA
+        # logits tensor is larger (HATLite auto-enables it at ws>=16 —
+        # the 'H200' windows; benchmarks/exp_r11_ocab16.py).
         y = OverlappingCrossAttention(self.dim, self.num_heads,
                                       self.window_size, self.overlap_ratio,
                                       use_rpb=self.oca_rpb,
-                                      attn_f32=self.attn_f32)(y)
+                                      attn_f32=self.attn_f32,
+                                      flash=self.flash_oca)(y)
         return x + Conv(self.dim)(y)
 
 
@@ -388,6 +391,7 @@ class _GroupScanBody(nn.Module):
     attn_f32: bool = True
     remat: bool = False
     flash_attn: bool = False
+    flash_oca: bool = False
 
     @nn.compact
     def __call__(self, x, _):
@@ -396,7 +400,7 @@ class _GroupScanBody(nn.Module):
                              self.conv_scale, self.overlap_ratio,
                              self.scan_blocks, self.oca_rpb,
                              self.attn_f32, self.remat,
-                             self.flash_attn)(x), None
+                             self.flash_attn, self.flash_oca)(x), None
 
 
 class HATLite(nn.Module):
@@ -427,11 +431,17 @@ class HATLite(nn.Module):
     # VMEM. The fastest inference path on TPU; gradients fall back to the
     # jnp reference via custom_vjp.
     flash_attn: bool = False
+    # Flash kernel for the group-end OCAB: None = auto (on when
+    # flash_attn and window_size >= 16 — at ws=8 the kernel's N-padding
+    # beats its logits savings and it stays off; BENCHMARKS.md).
+    flash_oca: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         ws = self.window_size
+        foca = (self.flash_attn and ws >= 16
+                if self.flash_oca is None else self.flash_oca)
         ph = (ws - h % ws) % ws
         pw = (ws - w % ws) % ws
         if ph or pw:
@@ -452,7 +462,7 @@ class HATLite(nn.Module):
             )(self.embed_dim, self.depths[0], self.num_heads[0], ws,
               self.mlp_ratio, self.conv_scale, self.overlap_ratio,
               self.scan_blocks, self.hat_compat, self.attn_f32,
-              self.remat, self.flash_attn, name="groups")
+              self.remat, self.flash_attn, foca, name="groups")
             y, _ = scanned(y, None)
         else:
             for depth, heads in zip(self.depths, self.num_heads):
@@ -460,7 +470,7 @@ class HATLite(nn.Module):
                                   self.mlp_ratio, self.conv_scale,
                                   self.overlap_ratio, self.scan_blocks,
                                   self.hat_compat, self.attn_f32,
-                                  self.remat, self.flash_attn)(y)
+                                  self.remat, self.flash_attn, foca)(y)
         if self.hat_compat:
             y = nn.LayerNorm(epsilon=1e-5, dtype=y.dtype,
                              param_dtype=jnp.float32, name="norm_body")(y)

@@ -123,3 +123,26 @@ def test_hatlite_flash_matches_einsum_path():
     yb = b.apply(params, x)  # same param structure: flash is math-only
     np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_hatlite_flash_oca_auto_at_ws16():
+    """At window 16 HATLite auto-enables the flash OCAB (flash_oca=None
+    -> on); output must match the einsum path on the same params, and an
+    explicit flash_oca=False must keep the OCAB on the einsum path."""
+    from superresolution_tpu.models.hat_lite import HATLite
+
+    kw = dict(scale=2, in_channels=1, out_channels=1, embed_dim=12,
+              depths=(2,), num_heads=(3,), window_size=16,
+              scan_blocks=True)
+    a = HATLite(**kw, flash_attn=False)
+    b = HATLite(**kw, flash_attn=True)            # auto flash_oca on
+    c = HATLite(**kw, flash_attn=True, flash_oca=False)
+    x = jax.random.normal(jax.random.key(7), (1, 32, 32, 1), jnp.float32)
+    params = a.init(jax.random.key(8), x)
+    ya = a.apply(params, x)
+    yb = b.apply(params, x)
+    yc = c.apply(params, x)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(yc), np.asarray(ya),
+                               atol=2e-5, rtol=2e-5)
