@@ -55,13 +55,22 @@ def main():
     params = policy.cast_to_compute(params)
     mp_in = batch * 256 * 256 / 1e6
 
-    for name, flash_oca in (("oca_einsum", False), ("oca_flash", True)):
-        model = build(flash_oca)
+    from superresolution_tpu.infer.fused_hat import make_fused_hat
+
+    fused_fn = make_fused_hat(params, build(True))
+    modes = [("oca_einsum", False), ("oca_flash", True), ("fused", None)]
+    for name, flash_oca in modes:
+        if name == "fused":
+            apply_fn = lambda v: fused_fn(v)  # noqa: E731
+        else:
+            model = build(flash_oca)
+            apply_fn = (lambda v, model=model:
+                        model.apply(params, v))
 
         @jax.jit
-        def chained(x, iters=8, model=model):
+        def chained(x, iters=8, apply_fn=apply_fn):
             def body(_, v):
-                y = model.apply(params, v.astype(jnp.bfloat16))
+                y = apply_fn(v.astype(jnp.bfloat16))
                 return y[:, ::2, ::2, :].astype(v.dtype)  # chain x2 back
 
             return jax.lax.fori_loop(0, iters, body, x)

@@ -127,8 +127,10 @@ def _hab(x, hp, *, shift, ws, nh, conv_scale, interpret):
 
 
 def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb):
-    """OverlappingCrossAttention einsum path on raw params (kept in XLA:
-    the cross-attn kernel measured slower at ws=8 — models/hat_lite.py)."""
+    """OverlappingCrossAttention on raw params: einsum at ws=8 (the
+    cross-attn kernel measured slower there — models/hat_lite.py), the
+    flash kernel at ws>=16 where the OCA logits tensor is 4x larger and
+    flash wins (+4.1% on the H200 config, benchmarks/exp_r11_ocab16.py)."""
     b, h, w, c = x.shape
     ows = int(ws * (1 + overlap_ratio))
     pad = (ows - ws) // 2
@@ -148,21 +150,32 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb):
                                              2 * c)
     k, v = jnp.split(kvw, 2, axis=-1)
     qd = _dense(q, op["Dense_1"])
-    qh = qd.reshape(-1, ws * ws, nh, hd).transpose(0, 2, 1, 3)
-    kh = k.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
-    vh = v.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
-    scale = jnp.asarray(hd, jnp.float32) ** -0.5
-    attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
-                      preferred_element_type=jnp.float32) * scale
+    bias = None
     if use_rpb:
         table = jnp.asarray(op["rel_pos_bias_oca"], jnp.float32)
         idx = jnp.asarray(_relative_position_index_oca(ws, ows))
         bias = table[idx.reshape(-1)].reshape(
             ws * ws, ows * ows, nh).transpose(2, 0, 1)
-        attn = attn + bias[None]
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh)
-    out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
+    if ws >= 16:
+        from superresolution_tpu.ops.pallas_attn import (
+            flash_window_attention)
+
+        if bias is None:
+            bias = jnp.zeros((nh, ws * ws, ows * ows), jnp.float32)
+        out = flash_window_attention(
+            qd, k, v, bias, nh, jax.default_backend() != "tpu", None)
+    else:
+        qh = qd.reshape(-1, ws * ws, nh, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
+        scale = jnp.asarray(hd, jnp.float32) ** -0.5
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
+                          preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            attn = attn + bias[None]
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
     out = _dense(out, op["Dense_2"])
     y = window_merge(out, ws, (h, w))
     x = x + y

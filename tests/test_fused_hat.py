@@ -112,3 +112,20 @@ def test_fused_cab_convs_matches_reference(h, w, c):
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_fused_hat_ws16_flash_ocab_matches_apply():
+    """At window 16 the fused path routes OCAB through the flash kernel
+    (benchmarks/exp_r11_ocab16.py); output must still match
+    HATLite.apply with the einsum OCAB on the same variables."""
+    kw16 = dict(scale=2, in_channels=1, out_channels=1, embed_dim=12,
+                depths=(2, 2), num_heads=(3, 3), window_size=16,
+                scan_blocks=True)
+    model = HATLite(**kw16)
+    ref_model = HATLite(**kw16, flash_oca=False)
+    x = jax.random.normal(jax.random.key(4), (1, 32, 32, 1), jnp.float32)
+    variables = ref_model.init(jax.random.key(5), x)
+    ref = ref_model.apply(variables, x)
+    got = make_fused_hat(variables, model)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
