@@ -12,6 +12,9 @@ input, batch 4, bf16, flash_attn=True, OCAB einsum vs flash
 (HATLite.flash_oca False/True).
 
 Usage (on the TPU chip): python benchmarks/exp_r11_ocab16.py
+       --e2e adds the full h200 hybrid (RRDB-23 x2 -> HAT-120 x2 ->
+       smoothing, 128^2 -> 512^2, batch 4) through the fused deploy
+       rewrite (infer/fused_hat.fused_hybrid_model).
 """
 
 from __future__ import annotations
@@ -87,5 +90,42 @@ def main():
             record(f"h200_stage2_{name}", f"FAILED ...{str(e)[-200:]}")
 
 
+def e2e():
+    from superresolution_tpu.infer.fused_hat import fused_hybrid_model
+    from superresolution_tpu.models import HybridSR, RRDBNet
+
+    batch = 4
+    policy = get_policy("bf16")
+    stage1 = RRDBNet(scale=2, in_channels=1, out_channels=1, features=64,
+                     num_blocks=23, growth=32)
+    hybrid = HybridSR(stage1=stage1, stage2=build(True), output_size=512,
+                      smoothing="balanced")
+    params = jax.jit(hybrid.init)(jax.random.key(1),
+                                  jnp.zeros((1, 128, 128, 1)))
+    params = policy.cast_to_compute(params)
+    fused = fused_hybrid_model(params, hybrid)
+    x = jax.random.normal(jax.random.key(0), (batch, 128, 128, 1),
+                          jnp.bfloat16)
+    mp_in = batch * 128 * 128 / 1e6
+
+    @jax.jit
+    def chained(x, iters=8):
+        def body(_, v):
+            y = fused.apply(None, v.astype(jnp.bfloat16))
+            return y[:, ::4, ::4, :].astype(v.dtype)
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    jax.block_until_ready(chained(x))
+    t0 = time.perf_counter()
+    jax.block_until_ready(chained(x))
+    dt = (time.perf_counter() - t0) / 8
+    record("h200_hybrid_fused_e2e", {"ms_per_batch": round(dt * 1e3, 1),
+                                     "mp_s": round(mp_in / dt, 4)})
+
+
 if __name__ == "__main__":
-    main()
+    if "--e2e" in sys.argv:
+        e2e()
+    else:
+        main()
