@@ -38,13 +38,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-try:  # jax >= 0.7 public API; fall back for older versions
-    from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def pipeline_apply(mesh: Mesh, stage_fn, stage_params, x, *,
@@ -129,11 +124,6 @@ def split_scan_params(stacked, num_items: int, n_stages: int):
     valid = (jnp.arange(n_stages * slots) < num_items).reshape(
         n_stages, slots)
     return blocks, valid
-
-
-def stage_sharding(mesh: Mesh, axis: str = "pipe") -> NamedSharding:
-    """Sharding that places one stage slice per device on `axis`."""
-    return NamedSharding(mesh, P(axis))
 
 
 def _rrdb_stage_fn(model):

@@ -96,7 +96,6 @@ def test_pipeline_grads_match_sequential(rng):
                                    atol=1e-6, rtol=1e-5)
 
 
-@requires_8
 def test_split_scan_params_pads_and_masks():
     stacked = {"k": jnp.arange(5, dtype=jnp.float32).reshape(5, 1)}
     blocks, valid = split_scan_params(stacked, 5, 4)
