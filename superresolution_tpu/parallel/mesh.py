@@ -24,6 +24,19 @@ def create_mesh(config: MeshConfig | None = None,
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     spatial = max(1, cfg.spatial)
+    pipe = max(1, getattr(cfg, "pipe", 1))
+    if pipe > 1:
+        # pipeline stages for the trunk body (parallel/pipeline.py); the
+        # pipe axis is only materialized when used so existing 2-axis
+        # mesh shapes stay unchanged
+        if spatial > 1:
+            raise ValueError("mesh.pipe and mesh.spatial are exclusive")
+        data = cfg.data if cfg.data > 0 else n // pipe
+        if data * pipe > n:
+            raise ValueError(
+                f"mesh {data}x{pipe} needs {data * pipe} devices, have {n}")
+        dev_array = np.asarray(devices[: data * pipe]).reshape(data, pipe)
+        return Mesh(dev_array, axis_names=("data", "pipe"))
     data = cfg.data if cfg.data > 0 else n // spatial
     if data * spatial > n:
         raise ValueError(

@@ -56,12 +56,20 @@ def make_device_input(data_cfg: DataConfig, scale: int,
 
 def make_train_step(model, loss_fn, tx, policy: Policy,
                     input_fn: Callable, accum_steps: int = 1,
-                    ema_decay: float | None = None) -> Callable:
-    """Returns train_step(state, batch, key) -> (state, logs)."""
+                    ema_decay: float | None = None,
+                    apply_fn: Callable | None = None) -> Callable:
+    """Returns train_step(state, batch, key) -> (state, logs).
+
+    apply_fn(params, lr) -> pred overrides the plain model.apply forward
+    — e.g. parallel.pipeline.make_pipeline_forward for mesh.pipe > 1
+    (same math, pipelined over the mesh; grads flow through it).
+    """
+    apply = apply_fn if apply_fn is not None else (
+        lambda p, x: model.apply(p, x))
 
     def forward_loss(params, lr, hr):
         params_c = policy.cast_to_compute(params)
-        pred = model.apply(params_c, lr.astype(policy.compute_dtype))
+        pred = apply(params_c, lr.astype(policy.compute_dtype))
         total, logs = loss_fn(pred.astype(jnp.float32),
                               hr.astype(jnp.float32))
         return total, logs

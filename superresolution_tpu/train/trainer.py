@@ -99,6 +99,32 @@ class Trainer:
         self.input_fn = make_device_input(dc, self.scale)
         self.eval_input_fn = make_device_input(dc, self.scale, augment=False)
 
+        # pipeline-parallel trunk forward (mesh.pipe > 1): same math,
+        # body blocks sharded over the 'pipe' axis (parallel/pipeline.py)
+        pp_apply = None
+        npipe = dict(self.mesh.shape).get("pipe", 1)
+        if npipe > 1:
+            from superresolution_tpu.models.rrdbnet import RRDBNet
+            from superresolution_tpu.parallel.pipeline import (
+                make_pipeline_forward)
+
+            if self.is_gan:
+                raise ValueError(
+                    "mesh.pipe > 1 does not support GAN training")
+            if not isinstance(self.model, RRDBNet) or \
+                    not self.model.scan_blocks:
+                raise ValueError(
+                    "mesh.pipe > 1 requires an RRDBNet arch with"
+                    " scan_blocks (the pipelined trunk body)")
+            n_micro = config.mesh.pipe_microbatches or npipe
+            per_call = self.batch_size // max(1, config.train.accum_steps)
+            if per_call % n_micro:
+                raise ValueError(
+                    f"per-step batch {per_call} not divisible by"
+                    f" pipe_microbatches {n_micro}")
+            pp_apply = make_pipeline_forward(self.mesh, self.model,
+                                             n_micro)
+
         if self.is_gan:
             self.disc = VGGStyleDiscriminator(
                 in_channels=config.model.out_channels,
@@ -122,7 +148,8 @@ class Trainer:
             self._train_step = jax.jit(make_train_step(
                 self.model, self.loss_fn, self.tx, self.policy,
                 self.input_fn, accum_steps=config.train.accum_steps,
-                ema_decay=config.train.ema_decay), donate_argnums=0)
+                ema_decay=config.train.ema_decay, apply_fn=pp_apply),
+                donate_argnums=0)
         self._eval_step = jax.jit(make_eval_step(
             self.model, self.policy, self.eval_input_fn,
             use_ema=config.train.ema_decay is not None))

@@ -122,6 +122,14 @@ class MeshConfig:
 
     data: int = -1  # -1 => all devices
     spatial: int = 1
+    # pipeline stages for the RRDB trunk body (parallel/pipeline.py):
+    # stage weights shard over a 'pipe' mesh axis, microbatches ride a
+    # ppermute ring. Requires an RRDBNet arch with scan_blocks and
+    # spatial == 1; incompatible with GAN training.
+    pipe: int = 1
+    # microbatches per step for pipe > 1 (0 => pipe; bubble fraction is
+    # (pipe-1)/(microbatches+pipe-1), so more microbatches = fuller pipe)
+    pipe_microbatches: int = 0
     axis_names: tuple[str, ...] = ("data", "spatial")
 
 

@@ -210,3 +210,62 @@ def test_make_pipeline_loss_matches_plain(rng):
 
     with pytest.raises(ValueError, match="not divisible"):
         loss_fn(params, lr[:3], hr[:3])
+
+
+@requires_8
+def test_trainer_pipe_matches_single_device(tmp_path):
+    """Trainer with mesh.pipe=4 must produce the same trained params as
+    the single-device Trainer: the ring only moves where convs run."""
+    from superresolution_tpu.train.trainer import Trainer
+    from superresolution_tpu.utils.config import (
+        Config, DataConfig, LossConfig, MeshConfig, ModelConfig,
+        TrainConfig)
+
+    def cfg(mesh):
+        return Config(
+            name="pp_equiv",
+            model=ModelConfig(name="rrdbnet", scale=2, in_channels=1,
+                              out_channels=1,
+                              kwargs={"features": 8, "num_blocks": 3,
+                                      "growth": 4}),
+            data=DataConfig(hr_patch=16, batch_size=4, synthetic_len=4,
+                            degradation="bicubic", augment=False),
+            loss=LossConfig(terms={"l1": 1.0}),
+            train=TrainConfig(epochs=1, lr=1e-3, eval_every=100,
+                              preview_every=1000, precision="fp32",
+                              resume=False),
+            mesh=mesh,
+        )
+
+    tr_pp = Trainer(cfg(MeshConfig(data=1, pipe=4)),
+                    workdir=str(tmp_path / "pp"))
+    tr_1 = Trainer(cfg(MeshConfig(data=1, spatial=1)),
+                   workdir=str(tmp_path / "one"))
+    assert dict(tr_pp.mesh.shape) == {"data": 1, "pipe": 4}
+    tr_pp.fit()
+    tr_1.fit()
+    for a, b in zip(jax.tree.leaves(tr_pp.state.params),
+                    jax.tree.leaves(tr_1.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+@requires_8
+def test_trainer_pipe_rejects_unsupported_archs(tmp_path):
+    from superresolution_tpu.train.trainer import Trainer
+    from superresolution_tpu.utils.config import (
+        Config, DataConfig, LossConfig, MeshConfig, ModelConfig,
+        TrainConfig)
+
+    cfg = Config(
+        name="pp_bad",
+        model=ModelConfig(name="espcn", scale=2, in_channels=1,
+                          out_channels=1, kwargs={"f1": 8, "f2": 8}),
+        data=DataConfig(hr_patch=16, batch_size=4, synthetic_len=4,
+                        degradation="bicubic", augment=False),
+        loss=LossConfig(terms={"l1": 1.0}),
+        train=TrainConfig(epochs=1, precision="fp32", resume=False),
+        mesh=MeshConfig(data=1, pipe=4),
+    )
+    with pytest.raises(ValueError, match="RRDBNet"):
+        Trainer(cfg, workdir=str(tmp_path))
