@@ -27,6 +27,9 @@ def _add_common(p):
                    help="directory of pair_* dirs (else synthetic data)")
     p.add_argument("--manifest-dir", default=None)
     p.add_argument("--mesh-data", type=int, default=None)
+    p.add_argument("--mesh-pipe", type=int, default=None,
+                   help="pipeline stages for the RRDB trunk body"
+                        " (requires an RRDBNet arch; see MeshConfig)")
 
 
 def _config_from_args(args):
@@ -61,6 +64,8 @@ def _config_from_args(args):
         train = dataclasses.replace(train, epochs=args.epochs)
     if args.mesh_data:
         mesh = dataclasses.replace(mesh, data=args.mesh_data)
+    if args.mesh_pipe:
+        mesh = dataclasses.replace(mesh, pipe=args.mesh_pipe)
     return dataclasses.replace(cfg, data=data, train=train, mesh=mesh)
 
 

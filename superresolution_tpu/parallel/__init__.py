@@ -5,6 +5,7 @@ from superresolution_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from superresolution_tpu.parallel.pipeline import (  # noqa: F401
+    make_hat_group_pipeline,
     make_pipeline_forward,
     make_pipeline_loss,
     make_trunk_pipeline,

@@ -144,30 +144,22 @@ def _rrdb_stage_fn(model):
     return stage_fn
 
 
-def make_pipeline_loss(mesh: Mesh, model, loss_sum_fn, n_micro: int, *,
-                       axis: str = "pipe"):
-    """Pipeline-parallel TRAINING objective for an RRDBNet: the 23-block
-    body runs pipelined over the `axis` mesh axis while conv_first /
-    trunk_conv / tail stay replicated (they are <2% of the FLOPs). The
-    per-sample math is IDENTICAL to the plain forward — microbatching a
-    conv net changes nothing per sample — so loss and grads match
-    single-device training up to f.p. determinism
-    (tests/test_pipeline_parallel.py::test_make_pipeline_loss_matches_plain).
+def make_pipeline_forward(mesh: Mesh, model, n_micro: int, *,
+                          axis: str = "pipe"):
+    """Pipeline-parallel RRDBNet forward: fwd(params, lr) -> pred.
 
-    loss_sum_fn(pred, hr) must return the SUM of per-element losses
-    (the mean is taken here), the same contract as make_spatial_loss.
-
-        loss_fn = make_pipeline_loss(mesh, model, l1_sum, n_micro=8)
-        loss, grads = jax.value_and_grad(loss_fn)(params, lr, hr)
-
-    Backward is the reverse-schedule pipeline jax.grad derives from the
-    ppermute ring; body-weight grads return in the stacked [num_blocks]
-    layout the optimizer already holds.
+    The 23-block body runs pipelined over the `axis` mesh axis while
+    conv_first / trunk_conv / tail stay replicated (they are <2% of the
+    FLOPs). The per-sample math is IDENTICAL to the plain forward —
+    microbatching a conv net changes nothing per sample — so outputs
+    (and, under jax.grad, all param grads) match model.apply up to f.p.
+    determinism. Drop-in for make_train_step's apply_fn, which makes
+    MeshConfig(pipe=N) a trainable configuration.
     """
     n = mesh.shape[axis]
     stage_fn = _rrdb_stage_fn(model)
 
-    def loss_fn(params, lr, hr):
+    def fwd(params, lr):
         b = lr.shape[0]
         if b % n_micro:
             raise ValueError(f"batch {b} not divisible by n_micro {n_micro}")
@@ -188,11 +180,80 @@ def make_pipeline_loss(mesh: Mesh, model, loss_sum_fn, n_micro: int, *,
         feat = out.reshape(head.shape)
         feat = model.apply(params, feat,
                            method=lambda m, u: m.trunk_conv(u)) + head
-        pred = model.apply(params, feat, method="tail")
-        denom = jnp.asarray(hr.size, jnp.float32)
-        return loss_sum_fn(pred, hr) / denom
+        return model.apply(params, feat, method="tail")
+
+    return fwd
+
+
+def make_pipeline_loss(mesh: Mesh, model, loss_sum_fn, n_micro: int, *,
+                       axis: str = "pipe"):
+    """Pipeline-parallel TRAINING objective over make_pipeline_forward.
+
+    loss_sum_fn(pred, hr) must return the SUM of per-element losses
+    (the mean is taken here), the same contract as make_spatial_loss.
+
+        loss_fn = make_pipeline_loss(mesh, model, l1_sum, n_micro=8)
+        loss, grads = jax.value_and_grad(loss_fn)(params, lr, hr)
+
+    Backward is the reverse-schedule pipeline jax.grad derives from the
+    ppermute ring; body-weight grads return in the stacked [num_blocks]
+    layout the optimizer already holds.
+    """
+    fwd = make_pipeline_forward(mesh, model, n_micro, axis=axis)
+
+    def loss_fn(params, lr, hr):
+        pred = fwd(params, lr)
+        return loss_sum_fn(pred, hr) / jnp.asarray(hr.size, jnp.float32)
 
     return loss_fn
+
+
+def make_hat_group_pipeline(mesh: Mesh, model, params, *,
+                            axis: str = "pipe"):
+    """Pipeline HATLite's residual groups over the `axis` mesh axis.
+
+    model: a HATLite with scan_blocks=True and uniform groups (weights
+    stacked [n_groups] under params['groups']). Returns
+    fn(x_microbatches: [M, mb, H, W, C]) -> [M, mb, H, W, C] equal to
+    scanning all groups on one device (the embed conv / body norm /
+    upsampler stay outside — see HATLite.__call__). Groups are
+    shape-preserving (window attention + convs at constant dim), so they
+    ride the ppermute ring like RRDB blocks; group counts that don't
+    divide the axis get masked zero-pad slots.
+    """
+    from superresolution_tpu.models.hat_lite import ResidualGroup
+
+    n = mesh.shape[axis]
+    p = params["params"] if "params" in params else params
+    groups = p["groups"]
+    n_groups = len(model.depths)
+    if len(set(model.depths)) != 1 or len(set(model.num_heads)) != 1:
+        raise ValueError("group pipeline requires uniform groups")
+    blocks, valid = split_scan_params(groups, n_groups, n)
+    stage_params = {"blocks": blocks, "valid": valid}
+    rg = ResidualGroup(model.embed_dim, model.depths[0],
+                       model.num_heads[0], model.window_size,
+                       mlp_ratio=model.mlp_ratio,
+                       conv_scale=model.conv_scale,
+                       overlap_ratio=model.overlap_ratio,
+                       scan_blocks=model.scan_blocks,
+                       oca_rpb=model.hat_compat,
+                       attn_f32=model.attn_f32)
+
+    def stage_fn(sp, u):
+        def body_step(h, wv):
+            w, v = wv
+            y = rg.apply({"params": w["ResidualGroup_0"]}, h)
+            return jnp.where(v, y, h), None
+
+        h, _ = lax.scan(body_step, u, (sp["blocks"], sp["valid"]))
+        return h
+
+    def apply(x_microbatches):
+        return pipeline_apply(mesh, stage_fn, stage_params,
+                              x_microbatches, axis=axis)
+
+    return apply
 
 
 def make_trunk_pipeline(mesh: Mesh, model, params, *, axis: str = "pipe",

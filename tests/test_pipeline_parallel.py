@@ -269,3 +269,37 @@ def test_trainer_pipe_rejects_unsupported_archs(tmp_path):
     )
     with pytest.raises(ValueError, match="RRDBNet"):
         Trainer(cfg, workdir=str(tmp_path))
+
+
+@requires_8
+def test_hat_group_pipeline_matches_sequential(rng):
+    """HATLite residual groups (3 groups over a 2-stage pipe -> masked
+    pad slot) pipelined == the sequential group loop."""
+    from superresolution_tpu.models.hat_lite import HATLite, ResidualGroup
+    from superresolution_tpu.parallel.pipeline import (
+        make_hat_group_pipeline)
+
+    model = HATLite(scale=2, in_channels=1, out_channels=1, embed_dim=12,
+                    depths=(2, 2, 2), num_heads=(3, 3, 3), window_size=4,
+                    scan_blocks=True)
+    x = jnp.zeros((1, 16, 16, 1))
+    params = model.init(jax.random.key(0), x)
+    mesh = pipe_mesh(2)
+
+    feats = jax.random.normal(jax.random.key(1), (2, 1, 16, 16, 12)) * 0.3
+    got = jax.jit(make_hat_group_pipeline(mesh, model, params))(feats)
+
+    groups = params["params"]["groups"]
+    rg = ResidualGroup(12, 2, 3, 4, mlp_ratio=model.mlp_ratio,
+                       conv_scale=model.conv_scale,
+                       overlap_ratio=model.overlap_ratio,
+                       scan_blocks=True)
+    ref = []
+    for i in range(feats.shape[0]):
+        u = feats[i]
+        for g in range(3):
+            w = jax.tree.map(lambda l: l[g], groups)
+            u = rg.apply({"params": w["ResidualGroup_0"]}, u)
+        ref.append(u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(jnp.stack(ref)),
+                               atol=1e-5, rtol=1e-5)
