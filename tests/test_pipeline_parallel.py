@@ -303,3 +303,42 @@ def test_hat_group_pipeline_matches_sequential(rng):
         ref.append(u)
     np.testing.assert_allclose(np.asarray(got), np.asarray(jnp.stack(ref)),
                                atol=1e-5, rtol=1e-5)
+
+
+@requires_8
+def test_trainer_dp_pipe_composition_matches_single_device(tmp_path):
+    """dp x pp on one mesh (data=2, pipe=4): the jit partitioner inserts
+    the data-axis resharding around the pipe ring; trained params must
+    still match the single-device Trainer."""
+    from superresolution_tpu.train.trainer import Trainer
+    from superresolution_tpu.utils.config import (
+        Config, DataConfig, LossConfig, MeshConfig, ModelConfig,
+        TrainConfig)
+
+    def cfg(mesh):
+        return Config(
+            name="pp_dp_equiv",
+            model=ModelConfig(name="rrdbnet", scale=2, in_channels=1,
+                              out_channels=1,
+                              kwargs={"features": 8, "num_blocks": 3,
+                                      "growth": 4}),
+            data=DataConfig(hr_patch=16, batch_size=4, synthetic_len=4,
+                            degradation="bicubic", augment=False),
+            loss=LossConfig(terms={"l1": 1.0}),
+            train=TrainConfig(epochs=1, lr=1e-3, eval_every=100,
+                              preview_every=1000, precision="fp32",
+                              resume=False),
+            mesh=mesh,
+        )
+
+    tr_pp = Trainer(cfg(MeshConfig(data=2, pipe=4)),
+                    workdir=str(tmp_path / "ppdp"))
+    assert dict(tr_pp.mesh.shape) == {"data": 2, "pipe": 4}
+    tr_1 = Trainer(cfg(MeshConfig(data=1, spatial=1)),
+                   workdir=str(tmp_path / "one"))
+    tr_pp.fit()
+    tr_1.fit()
+    for a, b in zip(jax.tree.leaves(tr_pp.state.params),
+                    jax.tree.leaves(tr_1.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
