@@ -29,6 +29,14 @@ slots burn one block of FLOPs per extra slot but keep the program SPMD.
 Composes with the other axes: dp shards the microbatch dim, spatial
 (parallel/spatial.py) shards rows, pipe shards depth. See
 __graft_entry__.dryrun_multichip for the combined smoke test.
+
+Deliberate choice: stage weights are CONSUMED sharded (shard_map
+in_specs) but STORED replicated. SR trunks are small (the 23-block
+RRDBNet body is ~33 MB in bf16) — weight/optimizer sharding would save
+nothing that matters while complicating checkpoints; what outgrows a
+chip in this domain is activations, which spatial sharding and the
+microbatch ring already split. The pipe axis buys stage concurrency,
+not memory.
 """
 
 from __future__ import annotations
