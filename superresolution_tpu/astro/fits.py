@@ -63,7 +63,10 @@ def read_fits(path: str):
                 cards = [text[i:i + 80] for i in range(0, len(text), 80)]
                 done = False
                 for c in cards:
-                    if c.startswith("END"):
+                    # the END card is the bare keyword 'END' in the
+                    # 8-char keyword field — a prefix match would stop
+                    # at ENDTIME/ENDDATE and drop later WCS cards
+                    if c[:8].strip() == "END":
                         done = True
                         break
                     k, v = _parse_card(c)
@@ -101,6 +104,11 @@ def _format_card(key: str, value) -> str:
         card = f"{key:<8}= {value:>20.13E}"
     else:
         s = str(value).replace("'", "''")
+        # a string value must keep its closing quote within the 80-col
+        # card: truncate the value, never the quote
+        s = s[:68]
+        if s.count("'") % 2:  # don't cut an escaped '' in half
+            s = s[:-1]
         card = f"{key:<8}= '{s:<8}'"
     return card.ljust(80)[:80]
 

@@ -82,7 +82,10 @@ def register_images(hubble_files: list[str], obs_files: list[str],
         h, w = data.shape
         tgt = TanWCS(ref_wcs.crval, (w / 2 + 0.5, h / 2 + 0.5),
                      ((-scale, 0.0), (0.0, scale)))
-        out, _ = reproject_bilinear(np.nan_to_num(data), wcs, tgt, (h, w))
+        # NaN bad pixels propagate through the bilinear sample (like
+        # reproject_interp) and zero AFTER reprojection — passing
+        # nan_to_num'd data would bake them in as valid zeros
+        out, _ = reproject_bilinear(data, wcs, tgt, (h, w))
         out = np.nan_to_num(out).astype(np.float32)
         name = "reg_" + os.path.basename(path)
         opath = os.path.join(out_dir, name)
@@ -237,8 +240,8 @@ def extract_patches(hubble_path: str, obs_paths: list[str], out_dir: str,
         # keep frames whose center is near the master frame center
         cy, cx = data.shape[0] / 2, data.shape[1] / 2
         ra, dec = wcs.pixel_to_world(cx, cy)
-        sep = np.hypot((ra - h_wcs.crval[0])
-                       * np.cos(np.deg2rad(h_wcs.crval[1])),
+        dra = (ra - h_wcs.crval[0] + 180.0) % 360.0 - 180.0  # RA wrap
+        sep = np.hypot(dra * np.cos(np.deg2rad(h_wcs.crval[1])),
                        dec - h_wcs.crval[1])
         if sep < 1.0:
             obs.append((np.nan_to_num(data), wcs))
@@ -300,7 +303,8 @@ def save_diagnostic_card(hr, lr, hr_wcs: TanWCS, lr_wcs: TanWCS,
     ly, lx = (np.asarray(lr.shape) - 1) / 2.0
     ra_h, dec_h = hr_wcs.pixel_to_world(hx, hy)
     ra_l, dec_l = lr_wcs.pixel_to_world(lx, ly)
-    dra = (ra_h - ra_l) * np.cos(np.deg2rad(dec_h)) * 3600.0
+    dra_deg = (ra_h - ra_l + 180.0) % 360.0 - 180.0  # RA 0/360 wrap
+    dra = dra_deg * np.cos(np.deg2rad(dec_h)) * 3600.0
     ddec = (dec_h - dec_l) * 3600.0
     mismatch = float(np.hypot(dra, ddec))
     try:

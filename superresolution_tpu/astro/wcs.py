@@ -31,6 +31,13 @@ class TanWCS:
         ctype1 = str(h.get("CTYPE1", ""))
         if "TAN" not in ctype1.upper():
             return None
+        # a CTYPE placeholder without the numeric cards (partially
+        # written header) is "no WCS", not an exception
+        if any(k not in h for k in
+               ("CRVAL1", "CRVAL2", "CRPIX1", "CRPIX2")):
+            return None
+        if "CD1_1" not in h and ("CDELT1" not in h or "CDELT2" not in h):
+            return None
         crval = (float(h["CRVAL1"]), float(h["CRVAL2"]))
         crpix = (float(h["CRPIX1"]), float(h["CRPIX2"]))
         if "CD1_1" in h:

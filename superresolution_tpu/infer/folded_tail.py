@@ -35,18 +35,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from superresolution_tpu.infer.common import conv_nhwc as _conv
 from superresolution_tpu.ops.pixel_shuffle import depth_to_space
 
 
 def _lrelu(x, slope=0.2):
     return jnp.where(x >= 0, x, jnp.asarray(slope, x.dtype) * x)
-
-
-def _conv(x, k, b=None, padding="SAME"):
-    y = jax.lax.conv_general_dilated(
-        x, k.astype(x.dtype), (1, 1), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y if b is None else y + b.astype(x.dtype)
 
 
 def fold_stage2_kernel(k3: np.ndarray) -> np.ndarray:

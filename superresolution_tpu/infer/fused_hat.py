@@ -23,6 +23,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from superresolution_tpu.infer.common import (
+    PreboundModel as _PreboundModel,
+    param_conv as _conv,
+)
 from superresolution_tpu.models.hat_lite import (
     HATLite,
     _relative_position_index,
@@ -35,14 +39,6 @@ from superresolution_tpu.ops.pallas_hab import fused_hab_block
 from superresolution_tpu.ops.pixel_shuffle import depth_to_space
 
 _EPS = 1e-5
-
-
-def _conv(x, cp, padding="SAME"):
-    y = jax.lax.conv_general_dilated(
-        x, jnp.asarray(cp["kernel"], x.dtype), (1, 1), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + jnp.asarray(cp["bias"], x.dtype)
-
 
 def _dense(x, dp):
     y = jnp.dot(x, jnp.asarray(dp["kernel"], x.dtype),
@@ -251,17 +247,6 @@ def make_fused_hat(variables, model: HATLite):
         return y
 
     return apply_fn
-
-
-class _PreboundModel:
-    """Duck-typed 'model' for infer.upscale: .apply ignores the passed
-    variables (weights are pre-bound and cast per input dtype)."""
-
-    def __init__(self, apply_fn):
-        self._fn = apply_fn
-
-    def apply(self, _variables, x):
-        return self._fn(x)
 
 
 def fused_hybrid_model(variables, model):

@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from superresolution_tpu.infer.common import (
+    PreboundModel as _PreboundModel,
+    param_conv as _conv,
+)
 from superresolution_tpu.ops.pallas_dense_trunk import (
     fused_dense_block,
     pack,
@@ -36,14 +40,6 @@ from superresolution_tpu.ops.pallas_dense_trunk import (
     proj_weights,
     unpack,
 )
-
-
-def _conv(x, cp, padding="SAME"):
-    y = jax.lax.conv_general_dilated(
-        x, jnp.asarray(cp["kernel"], x.dtype), (1, 1), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + jnp.asarray(cp["bias"], x.dtype)
-
 
 def _stacked_weights(body, num_blocks, dtype):
     """Scan-stacked body params -> per-dense-slot stacked weight lists.
@@ -107,17 +103,6 @@ def make_fused_trunk(variables, model, rb=None, interpret=None):
         return _conv(feat, p["trunk_conv"]["Conv_0"]) + head
 
     return trunk_fn
-
-
-class _PreboundModel:
-    """Duck-typed 'model' for infer.upscale: .apply ignores the passed
-    variables (weights are pre-bound)."""
-
-    def __init__(self, apply_fn):
-        self._fn = apply_fn
-
-    def apply(self, _variables, x):
-        return self._fn(x)
 
 
 def fused_rrdb_model(variables, model):

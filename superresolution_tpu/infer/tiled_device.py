@@ -101,6 +101,14 @@ def make_tiled_infer_staged(trunk_fn, tail_fn, scale: int, tile, halo: int,
         n_pad_tail = (-n) % tb
     kb = trunk_batch or (n + n_pad_tail if mesh is not None else n)
     n_pad_trunk = (-n) % kb
+    if mesh is not None and trunk_batch:
+        # with a mesh every trunk-padded tile also flows to the tail, so
+        # the run count must divide into the trunk chunks AND the
+        # (tail_batch x data) grid — pad to their common multiple
+        import math
+
+        pad = (-n) % math.lcm(kb, mult)
+        n_pad_trunk = n_pad_tail = pad
     coords = jnp.asarray([(iy * th_t, ix * tw_t)
                           for iy in range(ny) for ix in range(nx)]
                          + [(0, 0)] * max(n_pad_trunk, n_pad_tail),

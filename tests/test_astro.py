@@ -207,3 +207,59 @@ def test_extract_patches_pair_per_passing_frame(tmp_path, rng):
     lr1, _ = read_fits(os.path.join(pairs, "pair_000001",
                                     "observatory.fits"))
     assert not np.array_equal(lr0, lr1)  # distinct observatory frames
+
+
+def test_diagnostic_card_ra_wraparound(tmp_path, rng):
+    """Patch centers straddling RA=0 (one just above 0, one just below
+    360 — true separation ~0.1 arcsec) must report ~0 arcsec, not ~360
+    deg scaled to arcsec."""
+    hr_wcs = TanWCS(crval=(0.00001, 10.0), crpix=(257.0, 256.5),
+                    cd=((-7.0e-5, 0.0), (0.0, 7.0e-5)))
+    lr_wcs = TanWCS(crval=(359.99998, 10.0), crpix=(64.0, 64.5),
+                    cd=((-2.8e-4, 0.0), (0.0, 2.8e-4)))
+    hr = rng.random((512, 512))
+    lr = rng.random((128, 128))
+    ra_h, _ = hr_wcs.pixel_to_world((512 - 1) / 2.0, (512 - 1) / 2.0)
+    ra_l, _ = lr_wcs.pixel_to_world((128 - 1) / 2.0, (128 - 1) / 2.0)
+    assert ra_h < 1.0 and ra_l > 359.0  # genuinely straddling RA=0
+    mm = save_diagnostic_card(hr, lr, hr_wcs, lr_wcs,
+                              str(tmp_path / "card0.png"))
+    assert mm < 1.0, mm
+
+
+def test_from_header_partial_returns_none():
+    """A CTYPE placeholder without numeric cards is 'no WCS', not a
+    KeyError (camera software writes such headers before solving)."""
+    assert TanWCS.from_header({"CTYPE1": "RA---TAN"}) is None
+    assert TanWCS.from_header(
+        {"CTYPE1": "RA---TAN", "CRVAL1": 1.0, "CRVAL2": 2.0,
+         "CRPIX1": 1.0, "CRPIX2": 1.0}) is None  # no CD/CDELT
+    assert not has_celestial({"CTYPE1": "RA---TAN"})
+
+
+def test_fits_end_prefix_keyword_does_not_truncate(tmp_path, rng):
+    """Keywords with an END prefix (ENDTIME/ENDDATE) must not terminate
+    header parsing — WCS cards written after them must survive."""
+    data = rng.random((8, 8)).astype(np.float32)
+    header = {"ENDTIME": "2026-08-17T00:00:00"}
+    header.update(WCS0.to_header())
+    path = str(tmp_path / "endtime.fits")
+    write_fits(path, data, header)
+    back, h = read_fits(path)
+    np.testing.assert_allclose(back, data, rtol=1e-6)
+    w = TanWCS.from_header(h)
+    assert w is not None
+    np.testing.assert_allclose(w.crval, WCS0.crval, rtol=1e-10)
+
+
+def test_fits_long_string_value_keeps_quote(tmp_path, rng):
+    """String values longer than a card must truncate INSIDE the quotes;
+    later cards must parse."""
+    data = rng.random((8, 8)).astype(np.float32)
+    header = {"LONGVAL": "x" * 100}
+    header.update(WCS0.to_header())
+    path = str(tmp_path / "long.fits")
+    write_fits(path, data, header)
+    back, h = read_fits(path)
+    assert str(h["LONGVAL"]).startswith("xxx")
+    assert TanWCS.from_header(h) is not None

@@ -34,3 +34,27 @@ def test_mesh_tiled_matches_single_device(rng):
     b = np.asarray(multi(img))
     assert a.shape == b.shape == (128, 192, 1)
     np.testing.assert_allclose(b, a, atol=2e-5)
+
+
+@requires_8
+def test_mesh_tiled_explicit_trunk_batch_padding(rng):
+    """mesh data=2 + tail_batch=4 + a 2x5 grid (n=10) + trunk_batch=5:
+    the run count must pad to a common multiple of the trunk chunk and
+    the (tail_batch x data) grid instead of failing the trunk reshape."""
+    m = RRDBNet(scale=2, in_channels=1, out_channels=1, num_blocks=1,
+                features=16, growth=8)
+    p = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 1)))
+    trunk_fn = lambda t: m.apply(p, t, method="trunk")
+    tail_fn = lambda f: m.apply(p, f, method="tail")
+
+    img = jnp.asarray(rng.random((32, 80, 1), dtype=np.float32))  # 2x5 tiles
+    single = make_tiled_infer_staged(trunk_fn, tail_fn, 2, 16, 8,
+                                     tail_batch=4, h=32, w=80, channels=1)
+    mesh = create_mesh(MeshConfig(data=2, spatial=1))
+    multi = make_tiled_infer_staged(trunk_fn, tail_fn, 2, 16, 8,
+                                    tail_batch=4, h=32, w=80, channels=1,
+                                    trunk_batch=5, mesh=mesh)
+    a = np.asarray(single(img))
+    b = np.asarray(multi(img))
+    assert a.shape == b.shape == (64, 160, 1)
+    np.testing.assert_allclose(b, a, atol=2e-5)
