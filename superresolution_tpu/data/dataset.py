@@ -28,6 +28,10 @@ class PairedDataset:
         self.base = base_path
         self.lr_size = lr_size
         self.hr_size = hr_size
+        # shapes of the last successfully loaded pair: the black-tensor
+        # fallback must match the REAL item shapes or np.stack in the
+        # loader crashes on the first corrupt file
+        self._good_shapes: tuple | None = None
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -57,14 +61,19 @@ class PairedDataset:
                 raise ValueError(f"hr size {hr.shape} != {self.hr_size}")
             if self.lr_size and lr.shape[0] != self.lr_size:
                 raise ValueError(f"lr size {lr.shape} != {self.lr_size}")
+            self._good_shapes = (lr.shape, hr.shape)
             return {"lr": lr, "hr": hr}
         except Exception:
-            # black-tensor fallback (reference src/dataset.py:45-48)
-            ls = self.lr_size or 128
-            hs = self.hr_size or ls * 4
-            c = 1
-            return {"lr": np.zeros((ls, ls, c), np.float32),
-                    "hr": np.zeros((hs, hs, c), np.float32)}
+            # black-tensor fallback (reference src/dataset.py:45-48),
+            # shaped like the real items whenever a good pair has loaded
+            if self._good_shapes is not None:
+                lshape, hshape = self._good_shapes
+            else:
+                ls = self.lr_size or 128
+                hs = self.hr_size or ls * 4
+                lshape, hshape = (ls, ls, 1), (hs, hs, 1)
+            return {"lr": np.zeros(lshape, np.float32),
+                    "hr": np.zeros(hshape, np.float32)}
 
 
 def make_synthetic_image(index: int, size: int, channels: int = 1,

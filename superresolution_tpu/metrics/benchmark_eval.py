@@ -70,7 +70,9 @@ def evaluate_folder(upscale_fn, hr_dir: str, scale: int,
     for name in names:
         hr = load_image(os.path.join(hr_dir, name))
         h, w = (hr.shape[0] // scale) * scale, (hr.shape[1] // scale) * scale
-        hr = hr[:h, :w]
+        y0 = (hr.shape[0] - h) // 2  # center crop (the standard
+        x0 = (hr.shape[1] - w) // 2  # benchmark convention)
+        hr = hr[y0:y0 + h, x0:x0 + w]
         lr = np.asarray(degrade_bicubic(jnp.asarray(hr), scale)) if degrade \
             else hr
         sr = np.asarray(upscale_fn(lr))

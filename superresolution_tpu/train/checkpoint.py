@@ -126,7 +126,9 @@ class CheckpointManager:
         """Promote best (fallback last) to `out_dir`/best, validating with
         `probe(state)` if given (reference scripts/Modello_4.py:22-49)."""
         self._ckptr.wait_until_finished()
-        step = self.meta.get("best_step") or self.meta.get("last_step")
+        step = self.meta.get("best_step")
+        if step is None:  # explicit: `or` would skip a best_step of 0
+            step = self.meta.get("last_step")
         if step is None:
             raise FileNotFoundError("no checkpoints to finalize")
         src = self._step_dir(step)
@@ -157,7 +159,9 @@ def load_params_for_inference(ckpt_dir: str, prefer_ema: bool = True,
     cfg_path = os.path.join(ckpt_dir, "model_config.json")
     if os.path.exists(os.path.join(ckpt_dir, "meta.json")):
         mgr = CheckpointManager(ckpt_dir)
-        step = mgr.meta.get("best_step") or mgr.meta.get("last_step")
+        step = mgr.meta.get("best_step")
+        if step is None:  # explicit: `or` would skip a best_step of 0
+            step = mgr.meta.get("last_step")
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
         path = mgr._step_dir(step)

@@ -78,15 +78,18 @@ def make_train_step(model, loss_fn, tx, policy: Policy,
 
     def train_step(state, batch, key):
         lr, hr = input_fn(key, batch)
-        if accum_steps <= 1:
+        # clamp like train/gan.py::_accum: accum_steps > batch would give
+        # zero-length micro-batches whose mean-loss is NaN (the reference
+        # accumulates over LOADER batches, so its ACCUM_STEPS can exceed
+        # one batch; here micro-batches split ONE batch)
+        k = max(1, min(accum_steps, lr.shape[0]))
+        if k <= 1:
             grads, logs = grad_fn(state.params, lr, hr)
         else:
             b = lr.shape[0]
-            micro = b // accum_steps
-            lr_m = lr[: micro * accum_steps].reshape(accum_steps, micro,
-                                                     *lr.shape[1:])
-            hr_m = hr[: micro * accum_steps].reshape(accum_steps, micro,
-                                                     *hr.shape[1:])
+            micro = b // k
+            lr_m = lr[: micro * k].reshape(k, micro, *lr.shape[1:])
+            hr_m = hr[: micro * k].reshape(k, micro, *hr.shape[1:])
 
             def scan_body(carry, mb):
                 g_acc, l_acc = carry
@@ -95,13 +98,12 @@ def make_train_step(model, loss_fn, tx, policy: Policy,
                 l_acc = jax.tree.map(jnp.add, l_acc, logs)
                 return (g_acc, l_acc), None
 
-            zeros_g = jax.tree.map(
-                lambda p: jnp.zeros_like(p, jnp.float32), state.params)
-            _, sample_logs = forward_loss(state.params, lr_m[0], hr_m[0])
-            zeros_l = jax.tree.map(jnp.zeros_like, sample_logs)
-            (grads, logs), _ = jax.lax.scan(
-                scan_body, (zeros_g, zeros_l), (lr_m, hr_m))
-            inv = 1.0 / accum_steps
+            zeros = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(lambda a, c: grad_fn(state.params, a, c),
+                               lr_m[0], hr_m[0]))
+            (grads, logs), _ = jax.lax.scan(scan_body, zeros, (lr_m, hr_m))
+            inv = 1.0 / k
             grads = jax.tree.map(lambda g: g * inv, grads)
             logs = jax.tree.map(lambda v: v * inv, logs)
         new_state = state.apply_gradients(grads, tx, ema_decay)

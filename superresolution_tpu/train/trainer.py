@@ -27,6 +27,7 @@ from superresolution_tpu.ops.resize import resize_nearest
 from superresolution_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
+    replicated_sharding,
     shard_batch,
 )
 from superresolution_tpu.train.checkpoint import CheckpointManager
@@ -163,6 +164,11 @@ class Trainer:
             keep=config.train.keep_checkpoints,
             model_config=model_cfg)
         self.logger = MetricsLogger(os.path.join(self.workdir, "logs"))
+        # GAN: the discriminator state (params + opt moments) must resume
+        # too, or a trained G gets paired with a fresh random D
+        self.d_ckpt = (CheckpointManager(
+            os.path.join(self.workdir, "checkpoints_disc"),
+            keep=config.train.keep_checkpoints) if self.is_gan else None)
         self.start_epoch = 0
         if config.train.resume:
             restored = self.ckpt.restore(self.state)
@@ -170,6 +176,16 @@ class Trainer:
                 self.state = restored
                 steps_done = int(self.state.step)
                 self.start_epoch = steps_done // steps_per_epoch
+                if self.d_ckpt is not None:
+                    d_restored = self.d_ckpt.restore(self.d_state)
+                    if d_restored is not None:
+                        self.d_state = d_restored
+                    else:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "resuming GAN generator without a saved"
+                            " discriminator state (fresh D)")
         self.steps_per_epoch = steps_per_epoch
         self._base_key = jax.random.key(config.train.seed + 7)
 
@@ -190,6 +206,13 @@ class Trainer:
         c = self.cfg.model.in_channels
         if dc.train_manifest:
             lr_size = dc.hr_patch // self.scale if dc.degradation == "none" else None
+            if dc.degradation != "none":
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "manifest provides real LR pairs; the configured"
+                    " degradation %r is unused (real LR always wins —"
+                    " train/steps.py::make_device_input)", dc.degradation)
             train = PairedDataset(dc.train_manifest, dc.base_path,
                                   lr_size=lr_size)
             val = PairedDataset(dc.val_manifest or dc.train_manifest,
@@ -255,11 +278,17 @@ class Trainer:
                 # async: the disk write overlaps the next training epoch
                 is_best = self.ckpt.save(self.state, step,
                                          psnr=val["psnr"], block=False)
+                if self.d_ckpt is not None:
+                    self.d_ckpt.save(self.d_state, step, block=False)
                 if is_best:
                     best = dict(val)
-                if (epoch + 1) % cfg.preview_every == 0:
-                    self._save_preview(epoch)
+            # previews follow their own cadence (not nested in the eval
+            # branch, which would silently stretch it to the LCM)
+            if (epoch + 1) % cfg.preview_every == 0:
+                self._save_preview(epoch)
         self.ckpt.wait()  # commit any in-flight async save before returning
+        if self.d_ckpt is not None:
+            self.d_ckpt.wait()
         return {"best": best, "epochs": epochs,
                 "wall_s": time.time() - t_start,
                 "final_step": int(self.state.step)}
@@ -284,10 +313,16 @@ class Trainer:
     def _save_preview(self, epoch: int) -> None:
         """[LR-nearest-up | SR | HR] strip (reference
         scripts/Modello_supporto.py:187-190, scripts/Modello_5.py:83-85)."""
-        batch = next(iter(self.val_loader))
-        batch = jax.tree.map(lambda x: x[:1], batch)
+        # one sample read directly (a val_loader batch would decode +
+        # prefetch whole batches to keep one image), replicated rather
+        # than data-sharded (a size-1 batch does not divide a data>1 axis)
+        batch = jax.tree.map(lambda x: np.asarray(x)[None],
+                             self.val_ds[0])
+        batch = jax.tree.map(
+            lambda x: jax.device_put(x, replicated_sharding(self.mesh)),
+            batch)
         key = jax.random.fold_in(self._base_key, 2**31 - 1)
-        out = self._eval_step(self.state, shard_batch(self.mesh, batch), key)
+        out = self._eval_step(self.state, batch, key)
         sr = np.asarray(out["pred"][0])
         hr0 = np.asarray(out["hr"][0])
         lr_up = np.asarray(resize_nearest(out["lr"][0], hr0.shape[:2]))

@@ -269,7 +269,10 @@ def _preset_hybrid_astro_prod() -> Config:
         name="hybrid_astro_prod",
         loss=LossConfig(terms={"charbonnier": 1.0, "perceptual": 0.05, "astro": 0.05}),
         train=TrainConfig(epochs=150, lr=4e-4, accum_steps=20, eval_every=1),
-        data=dataclasses.replace(base.data, batch_size=3),
+        # reference: per-step batch 3 x ACCUM 20 over LOADER batches =
+        # effective 60; our accumulation splits ONE batch into micros,
+        # so the equivalent spec is batch 60 / accum 20 (micro-batch 3)
+        data=dataclasses.replace(base.data, batch_size=60),
     )
 
 

@@ -132,3 +132,18 @@ def test_paired_augment_covers_orientations():
         la, _ = paired_augment(jax.random.key(i), lr, lr)
         seen.add(tuple(np.asarray(la).ravel().tolist()))
     assert len(seen) == 8  # full dihedral group
+
+
+def test_black_fallback_matches_real_item_shapes(tmp_path):
+    """A corrupt file mid-dataset must fall back to tensors shaped like
+    the REAL items (any size/channels), or the loader's np.stack dies."""
+    root = _make_pairs(tmp_path)  # 32x32 hr / 8x8 lr pairs
+    paths = prepare_splits(root, str(tmp_path / "s4"), mode="split")
+    ds = PairedDataset(paths["train"])
+    good = ds[0]
+    ds.entries.append({"patch_id": "bad", "hubble_path": "/nope.tiff",
+                       "ground_path": "/nope.tiff"})
+    bad = ds[len(ds) - 1]
+    assert bad["hr"].shape == good["hr"].shape
+    assert bad["lr"].shape == good["lr"].shape
+    assert bad["hr"].sum() == 0

@@ -295,3 +295,76 @@ def test_gan_warmup_and_accum(rng):
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(d0, jax.tree.leaves(d_state.params)))
     assert moved
+
+
+def test_accum_steps_exceeding_batch_is_clamped(rng):
+    """accum_steps > batch (the reference accumulates over LOADER
+    batches, so its presets carry such values) must clamp instead of
+    producing empty micro-batches whose mean-loss is NaN."""
+    _, state, _, tx = _tiny_setup(accum=1)
+    model = ESPCN(scale=2, in_channels=1, out_channels=1, f1=8, f2=8)
+    dcfg = DataConfig(degradation="bicubic", augment=False)
+    input_fn = make_device_input(dcfg, scale=2)
+    loss_fn = CombinedLoss(LossConfig(terms={"l1": 1.0}))
+    step_20 = make_train_step(model, loss_fn, tx, get_policy("fp32"),
+                              input_fn, accum_steps=20)
+    step_1 = make_train_step(model, loss_fn, tx, get_policy("fp32"),
+                             input_fn, accum_steps=1)
+    batch = _batch(rng, n=3)
+    key = jax.random.key(5)
+    s20, logs20 = step_20(state, batch, key)
+    assert np.isfinite(float(logs20["total"])), logs20
+    # clamped k == batch: identical math to per-sample accumulation;
+    # the full-batch step differs only by f.p. reassociation
+    s1, logs1 = step_1(state, batch, key)
+    np.testing.assert_allclose(float(logs20["total"]),
+                               float(logs1["total"]), rtol=1e-5)
+
+
+def test_preview_cadence_independent_of_eval(tmp_path):
+    """Previews follow preview_every even when it is not a multiple of
+    eval_every (they used to be nested inside the eval branch)."""
+    import os
+
+    cfg = Config(
+        name="preview_test",
+        model=ModelConfig(name="espcn", scale=2, in_channels=1,
+                          out_channels=1, kwargs={"f1": 8, "f2": 8}),
+        data=DataConfig(hr_patch=16, batch_size=2, synthetic_len=2,
+                        degradation="bicubic", augment=False),
+        loss=LossConfig(terms={"l1": 1.0}),
+        train=TrainConfig(epochs=3, lr=1e-3, eval_every=2,
+                          preview_every=1, precision="fp32", resume=False),
+        mesh=_MESH1,
+    )
+    tr = Trainer(cfg, workdir=str(tmp_path))
+    tr.fit()
+    previews = sorted(os.listdir(tmp_path / "previews"))
+    assert len(previews) == 3, previews
+
+
+def test_gan_resume_restores_discriminator(tmp_path):
+    """Resume must restore the discriminator state, not pair the trained
+    generator with a fresh random D."""
+    def cfg(resume):
+        return Config(
+            name="gan_resume",
+            model=ModelConfig(name="espcn", scale=2, in_channels=1,
+                              out_channels=1, kwargs={"f1": 8, "f2": 8}),
+            data=DataConfig(hr_patch=32, batch_size=2, synthetic_len=2,
+                            degradation="bicubic", augment=False),
+            loss=LossConfig(terms={"l1": 1.0, "gan": 0.01}),
+            train=TrainConfig(epochs=1, lr=1e-3, eval_every=1,
+                              preview_every=1000, precision="fp32",
+                              resume=resume),
+            mesh=_MESH1,
+        )
+
+    tr = Trainer(cfg(False), workdir=str(tmp_path))
+    tr.fit()
+    trained_d = jax.tree.leaves(tr.d_state.params)
+    tr2 = Trainer(cfg(True), workdir=str(tmp_path))
+    resumed_d = jax.tree.leaves(tr2.d_state.params)
+    assert int(tr2.state.step) == int(tr.state.step)
+    for a, b in zip(resumed_d, trained_d):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
