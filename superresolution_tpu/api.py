@@ -33,7 +33,16 @@ def upscale(img, scale: int = 4, *, model=None, params=None,
 
         from superresolution_tpu.infer.tiled import _default_model_params
         from superresolution_tpu.infer.tiled_device import upscale_on_device
+        from superresolution_tpu.utils.precision import get_policy
 
+        # host-tiler options must not leak into the model constructor
+        batch = model_kwargs.pop("batch", 8)
+        precision = model_kwargs.pop("precision", "bf16")
+        for k in ("blend", "pad_mode"):
+            if k in model_kwargs:
+                raise ValueError(
+                    f"{k!r} applies to the host tiler only (the on-device"
+                    " path always uses exact crop blending)")
         arr = np.asarray(img)
         squeeze = arr.ndim == 2
         if squeeze:
@@ -41,8 +50,10 @@ def upscale(img, scale: int = 4, *, model=None, params=None,
         model, params = _default_model_params(arr, scale, model, params,
                                               tile=tile, halo=halo,
                                               **model_kwargs)
-        out = upscale_on_device(jnp.asarray(arr), scale, model, params,
-                                tile=tile, halo=halo)
+        out = upscale_on_device(
+            jnp.asarray(arr), scale, model, params, tile=tile, halo=halo,
+            batch=batch,
+            compute_dtype=get_policy(precision).compute_dtype)
         return out[..., 0] if squeeze else out
     from superresolution_tpu.infer import upscale as _upscale
 

@@ -180,7 +180,12 @@ def cmd_upscale(args):
 
 
 def cmd_benchmark(args):
-    import bench
+    try:
+        import bench  # repo-root script, not part of the package
+    except ModuleNotFoundError:
+        print("benchmark requires a repo checkout: run from the"
+              " repository root (bench.py is not installed)")
+        raise SystemExit(2)
 
     bench.main()
 
@@ -197,7 +202,10 @@ def cmd_show_result(args):
     strip = np.concatenate(imgs, axis=1)
     labels = (args.labels.split(",") if args.labels
               else ["Input", "Result", "Target"][: len(imgs)])
-    out = frame_and_label_collage(strip, args.output, labels=tuple(labels))
+    labels = (list(labels) + [""] * len(imgs))[: len(imgs)]
+    out = frame_and_label_collage(
+        strip, args.output, labels=tuple(labels),
+        panel_widths=[i.shape[1] for i in imgs])
     print(f"collage -> {out}")
 
 

@@ -246,11 +246,33 @@ def import_hat_numpy(sd: dict[str, np.ndarray], *, embed_dim: int = 96,
         "norm_body": _ln(sd, f"{p}norm"),
         "Conv_1": _conv(sd, f"{p}conv_after_body"),
         "conv_before_upsample": _conv(sd, f"{p}conv_before_upsample.0"),
+        # HAT's Upsample is Sequential([Conv, PixelShuffle] per stage):
+        # convs sit at even indices; our PixelShuffleUpsampler names its
+        # per-stage convs Conv_0, Conv_1, ... (x4 has TWO convs)
         "PixelShuffleUpsampler_0": {
-            "Conv_0": _conv(sd, f"{p}upsample.0")},
+            f"Conv_{j}": _conv(sd, f"{p}upsample.{2 * j}")
+            for j in range(_count_upsample_convs(sd, p))},
         "Conv_2": _conv(sd, f"{p}conv_last"),
     }
     return params
+
+
+def _count_upsample_convs(sd, prefix: str) -> int:
+    j = 0
+    while f"{prefix}upsample.{2 * j}.weight" in sd:
+        j += 1
+    return j
+
+
+def _upsample_scale(sd, prefix: str) -> int:
+    """Total scale of a HAT/BasicSR Upsample Sequential: the per-stage
+    factor is sqrt(out/in) of each conv (x3 is ONE conv at 9x, not 2^n
+    convs — counting convs mis-detects it)."""
+    total = 1
+    for j in range(_count_upsample_convs(sd, prefix)):
+        w = np.asarray(sd[f"{prefix}upsample.{2 * j}.weight"])
+        total *= int(round((w.shape[0] / w.shape[1]) ** 0.5))
+    return total
 
 
 def import_hybrid_numpy(sd: dict[str, np.ndarray], *, num_blocks: int = 23,
@@ -292,12 +314,6 @@ def _unfuse_dense(fd: dict, c: int, g: int):
     p2 = np.asarray(fd["proj_y2"]["kernel"])
     p3 = np.asarray(fd["proj_y3"]["kernel"])
     p4 = np.asarray(fd["proj_y4"]["kernel"])
-
-    def seg(k, i, width):
-        # lane segment of source-conv k corresponding to output step i,
-        # where k's lanes are ordered [later steps ..., final C]
-        return k[..., i:i + width]
-
     ks = [
         px[..., 0:g],
         np.concatenate([px[..., g:2 * g], p1[..., 0:g]], axis=2),
@@ -437,10 +453,7 @@ def detect_and_import(sd: dict[str, np.ndarray]):
         num_heads = rpb.shape[1]
         ws = (int(round(rpb.shape[0] ** 0.5)) + 1) // 2
         nf = np.asarray(sd["stage2.conv_before_upsample.0.weight"]).shape[0]
-        up_convs = sum(1 for k in sd
-                       if k.startswith("stage2.upsample.")
-                       and k.endswith(".weight"))
-        s2_scale = 2 ** up_convs
+        s2_scale = _upsample_scale(sd, "stage2.")
         params = import_hybrid_numpy(
             sd, num_blocks=num_blocks, features=features, growth=growth,
             embed_dim=embed_dim, depths=(depth,) * n_groups)
@@ -472,12 +485,10 @@ def detect_and_import(sd: dict[str, np.ndarray]):
         num_heads = rpb.shape[1]
         ws = (int(round(rpb.shape[0] ** 0.5)) + 1) // 2
         nf = np.asarray(sd["conv_before_upsample.0.weight"]).shape[0]
-        up_convs = sum(1 for k in sd if k.startswith("upsample.")
-                       and k.endswith(".weight"))
         params = {"params": import_hat_numpy(
             sd, embed_dim=embed_dim, depths=(depth,) * n_groups)}
         cfg = {
-            "name": "hat_lite", "scale": 2 ** up_convs,
+            "name": "hat_lite", "scale": _upsample_scale(sd, ""),
             "in_channels": in_ch,
             "out_channels": np.asarray(sd["conv_last.weight"]).shape[0],
             "kwargs": {"embed_dim": embed_dim, "depths": (depth,) * n_groups,
@@ -487,7 +498,9 @@ def detect_and_import(sd: dict[str, np.ndarray]):
             "refiner": None, "refiner_kwargs": {}, "smoothing": None,
         }
         return params, cfg
-    # plain BasicSR RRDBNet (ESRGAN)
+    # plain BasicSR RRDBNet (ESRGAN). BasicSR encodes scale < 4 by
+    # pixel-unshuffling the input (conv_first sees in*u^2 channels) and
+    # keeping the fixed 2x2 nearest-conv upsampler: scale = 4 // u.
     cf = np.asarray(sd["conv_first.weight"])
     features = cf.shape[0]
     num_blocks = 1 + max(int(k.split(".")[1]) for k in sd
@@ -495,11 +508,20 @@ def detect_and_import(sd: dict[str, np.ndarray]):
     growth = np.asarray(sd["body.0.rdb1.conv1.weight"]).shape[0]
     params = import_rrdbnet_numpy(sd, num_blocks=num_blocks,
                                   features=features, growth=growth)
+    w_in = cf.shape[1]
+    # in*u^2 -> (in, u); RGB/grayscale widths are unambiguous (a genuine
+    # 4/12/16/48-channel input model would be misread — not a BasicSR
+    # configuration)
+    u = {12: 2, 48: 4, 4: 2, 16: 4}.get(w_in, 1)
+    in_ch = w_in // (u * u)
+    kwargs = {"features": features, "num_blocks": num_blocks,
+              "growth": growth, "upsampler": "nearest_conv"}
+    if u > 1:
+        kwargs["pixel_unshuffle_input"] = u
     cfg = {
-        "name": "rrdbnet", "scale": 4, "in_channels": cf.shape[1],
+        "name": "rrdbnet", "scale": 4 // u, "in_channels": in_ch,
         "out_channels": np.asarray(sd["conv_last.weight"]).shape[0],
-        "kwargs": {"features": features, "num_blocks": num_blocks,
-                   "growth": growth, "upsampler": "nearest_conv"},
+        "kwargs": kwargs,
         "refiner": None, "refiner_kwargs": {}, "smoothing": None,
     }
     return params, cfg

@@ -17,10 +17,17 @@ from superresolution_tpu.models.common import lrelu, msra_init
 class VGGStyleDiscriminator(nn.Module):
     in_channels: int = 3
     features: int = 64
+    # the flattened Dense head sizes itself to the first input; this
+    # declares (and enforces) the intended HR patch size so a mismatch
+    # errors loudly instead of silently creating a different Dense kernel
     input_size: int = 128
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.input_size and x.shape[1] != self.input_size:
+            raise ValueError(
+                f"discriminator built for {self.input_size}^2 inputs, got"
+                f" {x.shape[1]}x{x.shape[2]}")
         f = self.features
 
         def block(x, feats, stride, norm=True):

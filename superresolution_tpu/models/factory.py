@@ -11,7 +11,10 @@ from superresolution_tpu.utils.config import ModelConfig
 def total_scale(mc: ModelConfig) -> int:
     s = mc.scale
     if mc.refiner:
-        s *= mc.refiner_kwargs.get("scale", 1)
+        # default must match what get_model actually builds when
+        # refiner_kwargs omits 'scale' (HATLite defaults to scale=2) —
+        # a mismatch would size the tiled-inference output wrong
+        s *= mc.refiner_kwargs.get("scale", 2)
     return s
 
 

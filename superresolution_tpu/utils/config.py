@@ -289,6 +289,9 @@ def _preset_hybrid_astro_h200() -> Config:
             refiner_kwargs={
                 "scale": 2, "embed_dim": 120, "depths": (6,) * 6,
                 "num_heads": (6,) * 6, "window_size": 16,
+                # the base preset's remat is what fits 512^2 training in
+                # HBM; this larger variant needs it even more
+                "remat": True,
             }),
     )
 

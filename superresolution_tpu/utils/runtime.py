@@ -16,10 +16,12 @@ def setup_jax_cache(cache_dir: str | None = None) -> None:
     cache_dir = cache_dir or os.environ.get(
         "SRTPU_JAX_CACHE", os.path.join(os.path.dirname(
             os.path.dirname(os.path.dirname(__file__))), ".jax_cache"))
-    os.makedirs(cache_dir, exist_ok=True)
     try:
+        # the default resolves next to the package, which is read-only
+        # for system installs — a cache is an optimization, never fatal
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
-        pass  # older jax without these flags
+        pass  # unwritable dir / older jax without these flags

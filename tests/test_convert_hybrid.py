@@ -461,3 +461,81 @@ def test_bare_hat_import(rng):
             {f"stage2.{k}": v for k, v in sd.items()},
         ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_bare_hat_import_x4_and_x3_upsample(rng):
+    """HAT's Upsample Sequential has convs at even indices: x4 carries
+    TWO convs (upsample.0/upsample.2) and x3 ONE 9x conv — the import
+    must map all of them and detect the right total scale."""
+    from superresolution_tpu.models.convert import detect_and_import
+    from superresolution_tpu.models.factory import build_from_config
+    from superresolution_tpu.utils.config import ModelConfig
+
+    import jax.numpy as jnp
+
+    hyb = _make_state_dict(rng)
+    base = {k[len("stage2."):]: v for k, v in hyb.items()
+            if k.startswith("stage2.")}
+
+    # x4: a second [4nf, nf] conv at Sequential index 2
+    sd4 = dict(base)
+    sd4["upsample.2.weight"] = rng.standard_normal(
+        (4 * NF, NF, 3, 3)).astype(np.float32) * 0.05
+    sd4["upsample.2.bias"] = np.zeros(4 * NF, np.float32)
+    variables, cfg = detect_and_import(sd4)
+    assert cfg["scale"] == 4
+    up = variables["params"]["PixelShuffleUpsampler_0"]
+    assert set(up) == {"Conv_0", "Conv_1"}
+    model = build_from_config(ModelConfig(**cfg))
+    x = rng.random((1, 16, 16, 1), dtype=np.float32)
+    out = model.apply(variables, jnp.asarray(x))
+    assert out.shape == (1, 64, 64, 1)
+
+    # x3: ONE conv at 9x width
+    sd3 = dict(base)
+    sd3["upsample.0.weight"] = rng.standard_normal(
+        (9 * NF, NF, 3, 3)).astype(np.float32) * 0.05
+    sd3["upsample.0.bias"] = np.zeros(9 * NF, np.float32)
+    variables, cfg = detect_and_import(sd3)
+    assert cfg["scale"] == 3
+    model = build_from_config(ModelConfig(**cfg))
+    out = model.apply(variables, jnp.asarray(x))
+    assert out.shape == (1, 48, 48, 1)
+
+
+def test_plain_rrdbnet_x2plus_import(rng):
+    """BasicSR scale-2 convention (pixel-unshuffled 12-channel
+    conv_first): the import must detect scale 2 + pixel_unshuffle_input,
+    not report a 12-channel x4 model."""
+    from superresolution_tpu.models.convert import detect_and_import
+    from superresolution_tpu.models.factory import build_from_config
+    from superresolution_tpu.utils.config import ModelConfig
+
+    import jax.numpy as jnp
+
+    f, g, nb = 8, 4, 1
+
+    def conv(sd, name, cout, cin):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (cout, cin, 3, 3)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+    sd = {}
+    conv(sd, "conv_first", f, 12)  # 3ch x pixel_unshuffle(2)
+    for d in range(1, 4):
+        for c in range(1, 6):
+            cin = f + (c - 1) * g
+            cout = g if c < 5 else f
+            conv(sd, f"body.0.rdb{d}.conv{c}", cout, cin)
+    conv(sd, "conv_body", f, f)
+    conv(sd, "conv_up1", f, f)
+    conv(sd, "conv_up2", f, f)
+    conv(sd, "conv_hr", f, f)
+    conv(sd, "conv_last", 3, f)
+    variables, cfg = detect_and_import(sd)
+    assert cfg["scale"] == 2 and cfg["in_channels"] == 3
+    assert cfg["kwargs"]["pixel_unshuffle_input"] == 2
+    model = build_from_config(ModelConfig(**cfg))
+    x = rng.random((1, 16, 16, 3), dtype=np.float32)
+    out = model.apply(variables, jnp.asarray(x))
+    assert out.shape == (1, 32, 32, 3)
