@@ -75,6 +75,34 @@ class PairedDataset:
             return {"lr": np.zeros(lshape, np.float32),
                     "hr": np.zeros(hshape, np.float32)}
 
+    def get_batch(self, indices) -> dict[str, np.ndarray] | None:
+        """Native batch fast path: ONE C call decodes every TIFF of the
+        batch across a thread pool (native/loader.cpp). Returns None
+        whenever the fast path does not apply (non-TIFF entries, no
+        toolchain, any decode failure) — the Loader then falls back to
+        the per-item path, which also provides the black-tensor
+        semantics for corrupt files."""
+        from superresolution_tpu.data.native_io import decode_batch
+
+        hp = [self._resolve(self.entries[i]["hubble_path"])
+              for i in indices]
+        lp = [self._resolve(self.entries[i]["ground_path"])
+              for i in indices]
+        if not all(p.endswith((".tif", ".tiff")) for p in hp + lp):
+            return None
+        if self._good_shapes is None:
+            self[indices[0]]  # prime shapes (validates sizes too)
+        if self._good_shapes is None:
+            return None
+        lshape, hshape = self._good_shapes
+        if lshape[-1] != 1 or hshape[-1] != 1:
+            return None  # native decoder is single-channel
+        hr = decode_batch(hp, hshape[:2])
+        lr = decode_batch(lp, lshape[:2])
+        if hr is None or lr is None:
+            return None
+        return {"lr": lr, "hr": hr}
+
 
 def make_synthetic_image(index: int, size: int, channels: int = 1,
                          seed: int = 0) -> np.ndarray:

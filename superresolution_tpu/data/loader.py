@@ -55,16 +55,23 @@ class Loader:
                            for i in range(0, len(order), self.bs)]
 
             def fetch(idxs):
-                items = [self.ds[int(i)] for i in idxs]
-                batch = {k: np.stack([it[k] for it in items])
-                         for k in items[0]}
-                if self.pad_to_batch and len(items) < self.bs:
-                    pad = self.bs - len(items)
+                batch = None
+                if hasattr(self.ds, "get_batch"):
+                    # dataset-provided batch fast path (e.g. the native
+                    # C++ TIFF batch decoder); None -> per-item fallback
+                    batch = self.ds.get_batch([int(i) for i in idxs])
+                if batch is None:
+                    items = [self.ds[int(i)] for i in idxs]
+                    batch = {k: np.stack([it[k] for it in items])
+                             for k in items[0]}
+                n_items = len(idxs)
+                if self.pad_to_batch and n_items < self.bs:
+                    pad = self.bs - n_items
                     batch = {k: np.concatenate(
                         [v, np.zeros((pad, *v.shape[1:]), v.dtype)])
                         for k, v in batch.items()}
                     batch["_valid"] = np.concatenate(
-                        [np.ones(len(items), np.bool_),
+                        [np.ones(n_items, np.bool_),
                          np.zeros(pad, np.bool_)])
                 return batch
 

@@ -22,14 +22,20 @@ namespace {
 struct Tiff {
     std::vector<uint8_t> buf;
     bool little = true;
+    // set when any read touches bytes outside the buffer: every offset
+    // here is FILE-SUPPLIED, so a corrupt/truncated TIFF must fail the
+    // parse (rc<0 -> PIL fallback), never read out of bounds
+    mutable bool bad = false;
 
     uint16_t u16(size_t off) const {
+        if (off + 2 > buf.size()) { bad = true; return 0; }
         uint16_t v;
         std::memcpy(&v, buf.data() + off, 2);
         if (!little) v = (uint16_t)((v >> 8) | (v << 8));
         return v;
     }
     uint32_t u32(size_t off) const {
+        if (off + 4 > buf.size()) { bad = true; return 0; }
         uint32_t v;
         std::memcpy(&v, buf.data() + off, 4);
         if (!little)
@@ -41,6 +47,7 @@ struct Tiff {
 
 struct Ifd {
     uint32_t width = 0, height = 0, bits = 0, compression = 1;
+    uint32_t samples = 1, photometric = 1;
     std::vector<uint32_t> strip_offsets, strip_counts;
     uint32_t rows_per_strip = 0xffffffff;
 };
@@ -51,10 +58,19 @@ static std::vector<uint32_t> read_values(const Tiff& t, uint16_t type,
     std::vector<uint32_t> out;
     size_t elem = (type == 3) ? 2 : 4;
     size_t src = (count * elem <= 4) ? value_off : t.u32(value_off);
+    if (src + (size_t)count * elem > t.buf.size()) {
+        t.bad = true;
+        return out;  // empty: the caller's parse fails cleanly
+    }
     for (uint32_t i = 0; i < count; ++i) {
         out.push_back(type == 3 ? t.u16(src + i * 2) : t.u32(src + i * 4));
     }
     return out;
+}
+
+static uint32_t first_value(const Tiff& t, uint16_t type, size_t voff) {
+    auto v = read_values(t, type, 1, voff);
+    return v.empty() ? 0 : v[0];
 }
 
 static bool parse(const Tiff& t, Ifd& ifd) {
@@ -69,18 +85,24 @@ static bool parse(const Tiff& t, Ifd& ifd) {
         uint32_t count = t.u32(e + 4);
         size_t voff = e + 8;
         switch (tag) {
-            case 256: ifd.width = read_values(t, type, 1, voff)[0]; break;
-            case 257: ifd.height = read_values(t, type, 1, voff)[0]; break;
-            case 258: ifd.bits = read_values(t, type, 1, voff)[0]; break;
-            case 259: ifd.compression = read_values(t, type, 1, voff)[0]; break;
+            case 256: ifd.width = first_value(t, type, voff); break;
+            case 257: ifd.height = first_value(t, type, voff); break;
+            case 258: ifd.bits = first_value(t, type, voff); break;
+            case 259: ifd.compression = first_value(t, type, voff); break;
+            case 262: ifd.photometric = first_value(t, type, voff); break;
             case 273: ifd.strip_offsets = read_values(t, type, count, voff); break;
-            case 278: ifd.rows_per_strip = read_values(t, type, 1, voff)[0]; break;
+            case 277: ifd.samples = first_value(t, type, voff); break;
+            case 278: ifd.rows_per_strip = first_value(t, type, voff); break;
             case 279: ifd.strip_counts = read_values(t, type, count, voff); break;
             default: break;
         }
     }
-    return ifd.width && ifd.height && (ifd.bits == 8 || ifd.bits == 16) &&
-           ifd.compression == 1 && !ifd.strip_offsets.empty();
+    // only single-sample grayscale (photometric 0/1) decodes correctly
+    // here; anything else must return false so the caller falls back
+    return !t.bad && ifd.width && ifd.height &&
+           (ifd.bits == 8 || ifd.bits == 16) && ifd.compression == 1 &&
+           ifd.samples == 1 && ifd.photometric <= 1 &&
+           !ifd.strip_offsets.empty();
 }
 
 static bool load_file(const char* path, std::vector<uint8_t>& buf) {
@@ -88,6 +110,10 @@ static bool load_file(const char* path, std::vector<uint8_t>& buf) {
     if (!f) return false;
     std::fseek(f, 0, SEEK_END);
     long sz = std::ftell(f);
+    if (sz < 0) {  // non-seekable (FIFO/device): not a TIFF file
+        std::fclose(f);
+        return false;
+    }
     std::fseek(f, 0, SEEK_SET);
     buf.resize((size_t)sz);
     size_t got = std::fread(buf.data(), 1, (size_t)sz, f);
@@ -98,7 +124,7 @@ static bool load_file(const char* path, std::vector<uint8_t>& buf) {
 // Decode one TIFF into out[h*w] float32 in [0,1]. Returns 0 on success,
 // negative error codes otherwise. Checks out capacity via out_len.
 static int decode_one(const char* path, float* out, int64_t out_len,
-                      int64_t* h_out, int64_t* w_out) {
+                      int64_t* h_out, int64_t* w_out) try {
     Tiff t;
     if (!load_file(path, t.buf)) return -1;
     if (t.buf.size() < 8) return -2;
@@ -137,6 +163,10 @@ static int decode_one(const char* path, float* out, int64_t out_len,
     *h_out = ifd.height;
     *w_out = ifd.width;
     return 0;
+} catch (...) {
+    // e.g. bad_alloc on a huge declared size: an exception escaping onto
+    // a batch worker thread would std::terminate the whole process
+    return -7;
 }
 
 }  // namespace
@@ -155,7 +185,6 @@ int srloader_decode_batch(const char** paths, int64_t n, float* out,
                           int32_t* status, int32_t num_threads) {
     if (num_threads < 1) num_threads = 1;
     std::vector<std::thread> pool;
-    std::vector<int64_t> next(1, 0);
     auto work = [&](int tid) {
         for (int64_t i = tid; i < n; i += num_threads) {
             status[i] = decode_one(paths[i], out + i * max_len, max_len,

@@ -55,6 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 from superresolution_tpu.ops.pallas_windows import (
     const_spec,
     edge_windows,
+    largest_row_block,
+    padded_width,
     window_specs,
 )
 
@@ -64,7 +66,7 @@ PAD = 8   # zero columns each side; must stay > HALO for wrap confinement
 
 def pack_width(width: int) -> int:
     """Padded width: PAD zero cols each side, multiple of 16."""
-    return -(-(width + 2 * PAD) // 16) * 16
+    return padded_width(width, PAD)
 
 
 def pack(x: jnp.ndarray) -> jnp.ndarray:
@@ -81,12 +83,7 @@ def unpack(xp: jnp.ndarray, width: int) -> jnp.ndarray:
 def pick_rb(h: int, wp: int, budget_rows: int = 28512) -> int:
     """Largest divisor of h whose (rb+10)*wp stays within the measured
     VMEM-safe row budget (rb=56 x wp=432 works; scale by wp)."""
-    cap = max(1, budget_rows // wp - 2 * HALO)
-    best = 1
-    for rb in range(1, h + 1):
-        if h % rb == 0 and rb <= cap:
-            best = rb
-    return best
+    return largest_row_block(h, max(1, budget_rows // wp - 2 * HALO))
 
 
 def proj_weights(dense_params, dtype=jnp.bfloat16):

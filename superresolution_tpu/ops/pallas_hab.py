@@ -295,7 +295,9 @@ _CAB_PAD = 8
 
 
 def cab_pack_width(width: int) -> int:
-    return -(-(width + 2 * _CAB_PAD) // 16) * 16
+    from superresolution_tpu.ops.pallas_windows import padded_width
+
+    return padded_width(width, _CAB_PAD)
 
 
 def cab_weights(hp, dtype=jnp.bfloat16):
@@ -377,31 +379,18 @@ def fused_cab_convs(x, weights, interpret=False, rb=None):
     tensor [B, H, W, C]. W-padding happens IN-KERNEL (zero concat)."""
     b, h, w_img, c = x.shape
     wp = cab_pack_width(w_img)
+    from superresolution_tpu.ops.pallas_windows import (
+        const_spec, edge_windows, largest_row_block, window_specs)
+
     halo = 2
     if rb is None:
         # f32 intermediates at 128-padded lanes cost ~5 stage tensors of
         # (rb+4)*wp tokens; 9000 tokens keeps the program under the
         # 128 MB physical VMEM (rb=128/wp=272 measured 153.7M — OOM).
-        rb = 1
-        for r in range(1, h + 1):
-            if h % r == 0 and (r + 2 * halo) * wp <= 9000:
-                rb = r
+        rb = largest_row_block(h, max(1, 9000 // wp - 2 * halo))
     nb = h // rb
-    xh = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
-    mid = xh[:, halo:halo + h].reshape(b * nb, rb, w_img, c)
-    tops = jnp.stack([xh[:, i * rb:i * rb + halo] for i in range(nb)],
-                     axis=1).reshape(b * nb, halo, w_img, c)
-    bots = jnp.stack(
-        [xh[:, halo + (i + 1) * rb:2 * halo + (i + 1) * rb]
-         for i in range(nb)], axis=1).reshape(b * nb, halo, w_img, c)
-    spec_mid = pl.BlockSpec((1, rb, w_img, c), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    spec_edge = pl.BlockSpec((1, halo, w_img, c), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
-
-    def cw(t):
-        return pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
-                            memory_space=pltpu.VMEM)
+    tops, mid, bots = edge_windows(x, rb, nb, halo=halo)
+    spec_edge, spec_mid, _ = window_specs(rb, w_img, c, halo=halo)
 
     out = pl.pallas_call(
         partial(_cab_kernel, rb=rb, w_img=w_img, wp=wp, nb=nb, h_img=h,
@@ -410,7 +399,7 @@ def fused_cab_convs(x, weights, interpret=False, rb=None):
             vmem_limit_bytes=110 * 1024 * 1024),
         grid=(b * nb,),
         in_specs=[spec_edge, spec_mid, spec_edge]
-        + [cw(t) for t in weights],
+        + [const_spec(t) for t in weights],
         out_specs=pl.BlockSpec((1, rb, wp, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp, c), x.dtype),

@@ -59,6 +59,8 @@ from jax.experimental.pallas import tpu as pltpu
 from superresolution_tpu.ops.pallas_windows import (
     const_spec,
     edge_windows,
+    largest_row_block,
+    padded_width,
     window_specs,
 )
 
@@ -76,7 +78,7 @@ VARIANTS = ((3, -1), (0, 0), (1, 0), (2, 0), (3, 0), (0, 1))
 
 
 def pack_width(width: int) -> int:
-    return -(-(width + 2 * PAD) // 16) * 16
+    return padded_width(width, PAD)
 
 
 def _lrelu(x):
@@ -360,12 +362,8 @@ def pick_rb(h: int, wp: int, per_token_bytes: int,
             budget: int = None) -> int:
     if budget is None:
         budget = VMEM_LIMIT - 8 * 1024 * 1024
-    cap = max(1, budget // (per_token_bytes * wp) - 2)
-    best = 1
-    for rb in range(1, h + 1):
-        if h % rb == 0 and rb <= cap:
-            best = rb
-    return best
+    return largest_row_block(
+        h, max(1, budget // (per_token_bytes * wp) - 2))
 
 
 def phase_hr_last(z1, kfp, bias2, k_hr, b_hr, k_last, b_last, width,

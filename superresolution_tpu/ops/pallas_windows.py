@@ -41,3 +41,19 @@ def const_spec(t):
     """Whole-array VMEM BlockSpec for grid-invariant weights."""
     return pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
                         memory_space=pltpu.VMEM)
+
+
+def largest_row_block(h: int, cap: int) -> int:
+    """Largest divisor of h that is <= cap (at least 1) — the shared
+    rb-picking kernel; each caller supplies its own VMEM-model cap."""
+    best = 1
+    for rb in range(1, h + 1):
+        if h % rb == 0 and rb <= cap:
+            best = rb
+    return best
+
+
+def padded_width(width: int, pad: int) -> int:
+    """`pad` zero cols each side, rounded up to a multiple of 16 (the
+    sublane-roll alignment every row-blocked kernel requires)."""
+    return -(-(width + 2 * pad) // 16) * 16
