@@ -1,0 +1,145 @@
+"""On-chip equivalence harness: every production Pallas kernel vs its
+XLA reference, ON REAL MOSAIC (the test suite runs interpret mode only;
+this catches interpret-vs-Mosaic divergence and toolchain regressions).
+
+Prints one JSON line per kernel with the max |diff| and a PASS/FAIL
+against a bf16-scale tolerance; exits nonzero on any FAIL.
+
+Usage (on the TPU chip): python benchmarks/chip_equivalence.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superresolution_tpu.utils.runtime import setup_jax_cache
+
+setup_jax_cache()
+
+FAILED = []
+
+
+def check(name, got, ref, tol):
+    """tol is RELATIVE to the reference's max magnitude: random-init
+    nets produce large outputs (a bf16 ulp at |ref|~45 is 0.25), so an
+    absolute bound would fail on rounding noise."""
+    g = np.asarray(got, np.float32)
+    r = np.asarray(ref, np.float32)
+    d = float(np.max(np.abs(g - r)))
+    scale = max(float(np.max(np.abs(r))), 1e-6)
+    ok = d / scale <= tol
+    print(json.dumps({name: {"max_diff": round(d, 6),
+                             "rel": round(d / scale, 6), "tol": tol,
+                             "pass": ok}}), flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    assert jax.default_backend() != "cpu", "run on the chip"
+    key = jax.random.key(0)
+
+    # 1. fused dense block vs the flax FusedDenseBlock
+    from superresolution_tpu.models.rrdbnet import FusedDenseBlock
+    from superresolution_tpu.ops.pallas_dense_trunk import (
+        fused_dense_block, pack, proj_weights, unpack)
+
+    blk = FusedDenseBlock(features=64, growth=32)
+    x = jax.random.normal(jax.random.key(1), (2, 48, 64, 64),
+                          jnp.bfloat16) * 0.5
+    dp = blk.init(key, x)["params"]
+    ref = jax.jit(lambda v: blk.apply({"params": dp}, v))(x)
+    w = proj_weights(dp, jnp.bfloat16)
+    got = jax.jit(lambda v: unpack(
+        fused_dense_block(pack(v), w, width=64), 64))(x)
+    check("fused_dense_block", got, ref, 0.02)
+
+    # 2. phase-space tail vs the RRDBNet tail apply
+    from superresolution_tpu.infer.phase_tail import make_phase_tail
+    from superresolution_tpu.models.rrdbnet import RRDBNet
+
+    model = RRDBNet(scale=4, in_channels=3, out_channels=3, features=64,
+                    num_blocks=1, growth=32, upsampler="pixelshuffle")
+    variables = model.init(key, jnp.zeros((1, 16, 16, 3)))
+    feat = jax.random.normal(jax.random.key(2), (2, 48, 64, 64),
+                             jnp.bfloat16) * 0.3
+    ref = jax.jit(lambda v: model.apply(variables, v, method="tail"))(feat)
+    tail = make_phase_tail(variables, clip=False)
+    got = jax.jit(tail)(feat)
+    check("phase_tail", got, ref, 0.02)
+
+    # 3. fused HAT (HAB kernels + flash attention) vs HATLite.apply
+    from superresolution_tpu.infer.fused_hat import make_fused_hat
+    from superresolution_tpu.models.hat_lite import HATLite
+
+    hat = HATLite(scale=2, in_channels=1, out_channels=1, embed_dim=96,
+                  depths=(2, 2), num_heads=(6, 6), window_size=8)
+    hv = hat.init(key, jnp.zeros((1, 32, 32, 1)))
+    xb = jax.random.uniform(jax.random.key(3), (2, 64, 64, 1),
+                            jnp.bfloat16)
+    ref = jax.jit(lambda v: hat.apply(hv, v))(xb)
+    got = jax.jit(make_fused_hat(hv, hat))(xb)
+    check("fused_hat_ws8", got, ref, 0.03)
+
+    # 3b. the ws=16 path (flash OCAB on chip)
+    hat16 = HATLite(scale=2, in_channels=1, out_channels=1, embed_dim=96,
+                    depths=(2, 2), num_heads=(6, 6), window_size=16)
+    hv16 = hat16.init(key, jnp.zeros((1, 32, 32, 1)))
+    ref = jax.jit(lambda v: HATLite(
+        scale=2, in_channels=1, out_channels=1, embed_dim=96,
+        depths=(2, 2), num_heads=(6, 6), window_size=16,
+        flash_oca=False).apply(hv16, v))(xb)
+    got = jax.jit(make_fused_hat(hv16, hat16))(xb)
+    check("fused_hat_ws16_flash_ocab", got, ref, 0.03)
+
+    # 4. flash window attention vs the einsum reference
+    from superresolution_tpu.ops.pallas_attn import flash_window_attention
+
+    nb, n, c, nh = 8, 64, 96, 6
+    ks = jax.random.split(jax.random.key(4), 4)
+    q = jax.random.normal(ks[0], (nb, n, c), jnp.float32)
+    k = jax.random.normal(ks[1], (nb, n, c), jnp.float32)
+    v = jax.random.normal(ks[2], (nb, n, c), jnp.float32)
+    bias = jax.random.normal(ks[3], (nh, n, n), jnp.float32) * 0.1
+    hd = c // nh
+    qh = q.reshape(nb, n, nh, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(nb, n, nh, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(nb, n, nh, hd).transpose(0, 2, 1, 3)
+    attn = jax.nn.softmax(
+        jnp.einsum("bhnd,bhmd->bhnm", qh, kh) * hd ** -0.5 + bias[None],
+        axis=-1)
+    ref = jnp.einsum("bhnm,bhmd->bhnd", attn, vh).transpose(
+        0, 2, 1, 3).reshape(nb, n, c)
+    got = jax.jit(lambda a, b_, c_, d: flash_window_attention(
+        a, b_, c_, d, nh, False, None))(q, k, v, bias)
+    check("flash_window_attention", got, ref, 1e-4)
+
+    # 5. Pallas star-weighted L1 (value + grad) vs jnp
+    from superresolution_tpu.losses.basic import star_weighted_l1
+    from superresolution_tpu.ops.pallas_loss import star_weighted_l1_pallas
+
+    pred = jax.random.uniform(jax.random.key(5), (2, 64, 64, 1))
+    tgt = jax.random.uniform(jax.random.key(6), (2, 64, 64, 1))
+    ref, gref = jax.value_and_grad(
+        lambda p: star_weighted_l1(p, tgt))(pred)
+    got, ggot = jax.jit(jax.value_and_grad(
+        lambda p: star_weighted_l1_pallas(p, tgt)))(pred)
+    check("star_l1_value", got, ref, 1e-4)
+    check("star_l1_grad", ggot, gref, 1e-4)
+
+    if FAILED:
+        print(json.dumps({"FAILED": FAILED}), flush=True)
+        raise SystemExit(1)
+    print(json.dumps({"all": "PASS"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
