@@ -10,8 +10,8 @@ output rate is 16x this in pixels).
 Baseline derivation (the reference publishes no throughput numbers —
 BASELINE.md): the reference's fallback production GPU is an RTX 4090
 (reference readme.md:91-95,415-421) running torch-eager AMP. The ESRGAN
-RRDB x4 generator costs ~35.8 GFLOPs per LR-megapixel-row... precisely:
-~17.9 MFLOPs-MAC x2 = 35.8 TFLOPs per input megapixel. Torch eager conv
+RRDB x4 generator costs ~17.9 M MACs PER LR PIXEL, i.e. x2 =
+35.8 TFLOPs per input megapixel. Torch eager conv
 stacks on a 4090 (165 TFLOPs bf16 dense) sustain roughly 30% MFU on this
 kind of small-channel conv workload => ~50 TFLOP/s => ~1.4 input-MP/s.
 REF_GPU_MPS_X4 = 1.4 is therefore the reference-on-GPU estimate this

@@ -32,15 +32,19 @@ def create_mesh(config: MeshConfig | None = None,
         if spatial > 1:
             raise ValueError("mesh.pipe and mesh.spatial are exclusive")
         data = cfg.data if cfg.data > 0 else n // pipe
-        if data * pipe > n:
+        if data < 1 or data * pipe > n:
             raise ValueError(
-                f"mesh {data}x{pipe} needs {data * pipe} devices, have {n}")
+                f"mesh {max(data, 1)}x{pipe} needs"
+                f" {max(data, 1) * pipe} devices, have {n}")
         dev_array = np.asarray(devices[: data * pipe]).reshape(data, pipe)
         return Mesh(dev_array, axis_names=("data", "pipe"))
     data = cfg.data if cfg.data > 0 else n // spatial
-    if data * spatial > n:
+    if data < 1 or data * spatial > n:
+        # data == 0 (devices < spatial) would build a 0-device mesh that
+        # dies cryptically at the first device_put
         raise ValueError(
-            f"mesh {data}x{spatial} needs {data * spatial} devices, have {n}")
+            f"mesh {max(data, 1)}x{spatial} needs"
+            f" {max(data, 1) * spatial} devices, have {n}")
     dev_array = np.asarray(devices[: data * spatial]).reshape(data, spatial)
     return Mesh(dev_array, axis_names=("data", "spatial"))
 

@@ -51,18 +51,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def pipeline_apply(mesh: Mesh, stage_fn, stage_params, x, *,
-                   axis: str = "pipe"):
+                   axis: str = "pipe", batch_axis: str | None = None):
     """Apply P sequential stages to M microbatches, pipelined over `axis`.
 
     stage_fn(params_slice, u) -> v: ONE stage; must be shape-preserving
         (v.shape == u.shape) so activations can ride the ppermute ring.
     stage_params: pytree whose leaves all have leading axis P (one
         slice per stage, in stage order). Device d consumes slice d.
-    x: [M, ...] microbatches (M >= 1), replicated over the mesh.
+    x: [M, mb, ...] microbatches (M >= 1). With batch_axis (a second
+        mesh axis, e.g. 'data'), the mb dim is sharded over it so a
+        dp x pp mesh does NOT redundantly run the full global batch on
+        every data row; without it x is replicated.
 
-    Returns [M, ...]: for each microbatch, stage_{P-1}(...stage_0(mb)),
-    replicated. Exactly equal to the sequential loop (same ops in the
-    same order on each device; the ring only moves data).
+    Returns [M, mb, ...]: for each microbatch, stage_{P-1}(...stage_0(mb)).
+    Exactly equal to the sequential loop (same ops in the same order on
+    each device; the ring only moves data).
     """
     n = mesh.shape[axis]
     num_stages = jax.tree.leaves(stage_params)[0].shape[0]
@@ -75,8 +78,10 @@ def pipeline_apply(mesh: Mesh, stage_fn, stage_params, x, *,
             jax.tree.map(lambda l: l[0], stage_params), u))(x)
     m = x.shape[0]
     perm = [(i, (i + 1) % n) for i in range(n)]
+    x_spec = P(None, batch_axis) if batch_axis else P()
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P()), out_specs=P())
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), x_spec),
+             out_specs=x_spec)
     def run(sp, xs):
         sp = jax.tree.map(lambda l: l[0], sp)  # this device's stage
         idx = lax.axis_index(axis)
@@ -165,6 +170,7 @@ def make_pipeline_forward(mesh: Mesh, model, n_micro: int, *,
     MeshConfig(pipe=N) a trainable configuration.
     """
     n = mesh.shape[axis]
+    ndata = dict(mesh.shape).get("data", 1)
     stage_fn = _rrdb_stage_fn(model)
 
     def fwd(params, lr):
@@ -181,10 +187,14 @@ def make_pipeline_forward(mesh: Mesh, model, n_micro: int, *,
         body = (params["params"]["body"] if "params" in params
                 else params["body"])
         blocks, valid = split_scan_params(body, model.num_blocks, n)
-        micro = head.reshape((n_micro, b // n_micro) + head.shape[1:])
+        mb = b // n_micro
+        micro = head.reshape((n_micro, mb) + head.shape[1:])
+        # shard each microbatch over the data axis when it divides, so
+        # dp x pp does not redundantly run the full batch per data row
+        batch_axis = "data" if ndata > 1 and mb % ndata == 0 else None
         out = pipeline_apply(mesh, stage_fn,
                              {"blocks": blocks, "valid": valid},
-                             micro, axis=axis)
+                             micro, axis=axis, batch_axis=batch_axis)
         feat = out.reshape(head.shape)
         feat = model.apply(params, feat,
                            method=lambda m, u: m.trunk_conv(u)) + head

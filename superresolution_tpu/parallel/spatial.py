@@ -19,10 +19,29 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.7 public API; fall back for older versions
-    from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from jax import shard_map  # jax >= 0.7 (the package floor: pipeline.py
+#                            also uses lax.pcast, jax >= 0.9)
+
+
+def _halo_exchange(blk, halo: int, n: int, edge_mode: str):
+    """Pad a per-device row block with its neighbors' boundary rows over
+    ICI (one ppermute each way). The global top/bottom edges use
+    edge_mode: 'replicate' (inference — matches the tiled-inference
+    border convention) or 'zero' (the training objective's fixed,
+    device-count-invariant padding)."""
+    idx = lax.axis_index("spatial")
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    from_above = lax.ppermute(blk[:, -halo:], "spatial", fwd)
+    from_below = lax.ppermute(blk[:, :halo], "spatial", bwd)
+    if edge_mode == "replicate":
+        top_edge = jnp.repeat(blk[:, :1], halo, axis=1)
+        bot_edge = jnp.repeat(blk[:, -1:], halo, axis=1)
+    else:
+        top_edge = bot_edge = jnp.zeros_like(blk[:, :halo])
+    top = jnp.where(idx == 0, top_edge, from_above)
+    bot = jnp.where(idx == n - 1, bot_edge, from_below)
+    return jnp.concatenate([top, blk, bot], axis=1)
 
 
 def spatial_shard_apply(mesh: Mesh, fn, img: jnp.ndarray, halo: int,
@@ -42,26 +61,14 @@ def spatial_shard_apply(mesh: Mesh, fn, img: jnp.ndarray, halo: int,
     if h // n < halo:
         raise ValueError(f"block height {h // n} < halo {halo}")
 
-    fwd = [(i, (i + 1) % n) for i in range(n)]   # send to next (down)
-    bwd = [(i, (i - 1) % n) for i in range(n)]   # send to prev (up)
-
     @partial(shard_map, mesh=mesh,
              in_specs=P(None, "spatial", None, None),
              out_specs=P(None, "spatial", None, None))
     def run(block):
-        idx = lax.axis_index("spatial")
-        # halo from the block above (its bottom rows travel down via fwd)
-        from_above = lax.ppermute(block[:, -halo:], "spatial", fwd)
-        # halo from the block below (its top rows travel up via bwd)
-        from_below = lax.ppermute(block[:, :halo], "spatial", bwd)
-        # global edges: replicate boundary rows; like tiled inference, the
-        # result matches unsharded inference exactly except within
-        # halo*scale rows of the true image border (see infer/tiled.py).
-        top_edge = jnp.repeat(block[:, :1], halo, axis=1)
-        bot_edge = jnp.repeat(block[:, -1:], halo, axis=1)
-        top = jnp.where(idx == 0, top_edge, from_above)
-        bot = jnp.where(idx == n - 1, bot_edge, from_below)
-        padded = jnp.concatenate([top, block, bot], axis=1)
+        # replicate edges: like tiled inference, the result matches
+        # unsharded inference exactly except within halo*scale rows of
+        # the true image border (see infer/tiled.py).
+        padded = _halo_exchange(block, halo, n, "replicate")
         out = fn(padded)
         return out[:, halo * scale: out.shape[1] - halo * scale]
 
@@ -96,8 +103,6 @@ def make_spatial_loss(mesh: Mesh, apply_fn, loss_sum_fn, halo: int,
         loss, grads = jax.value_and_grad(loss_fn)(params, lr, hr)
     """
     n = mesh.shape["spatial"]
-    fwd = [(i, (i + 1) % n) for i in range(n)]
-    bwd = [(i, (i - 1) % n) for i in range(n)]
 
     def loss_fn(params, lr, hr):
         h = lr.shape[1]
@@ -120,13 +125,7 @@ def make_spatial_loss(mesh: Mesh, apply_fn, loss_sum_fn, halo: int,
                            P(None, "spatial", None, None)),
                  out_specs=P())
         def run(params, blk, hr_blk):
-            idx = lax.axis_index("spatial")
-            from_above = lax.ppermute(blk[:, -halo:], "spatial", fwd)
-            from_below = lax.ppermute(blk[:, :halo], "spatial", bwd)
-            zeros = jnp.zeros_like(blk[:, :halo])
-            top = jnp.where(idx == 0, zeros, from_above)
-            bot = jnp.where(idx == n - 1, zeros, from_below)
-            padded = jnp.concatenate([top, blk, bot], axis=1)
+            padded = _halo_exchange(blk, halo, n, "zero")
             out = apply_fn(params, padded)
             out = out[:, halo * scale: out.shape[1] - halo * scale]
             return lax.psum(loss_sum_fn(out, hr_blk), "spatial")

@@ -9,10 +9,19 @@ import os
 # too late — use jax.config.update as well.
 _platform = os.environ.get("SRTPU_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
+import re as _re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+_m = _re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+if _m is None:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+elif int(_m.group(1)) < 8:
+    # a smaller preexisting count would silently skip every @requires_8
+    # sharding test — raise it so the suite keeps its collective coverage
+    os.environ["XLA_FLAGS"] = _re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8", flags)
 
 import jax  # noqa: E402
 
