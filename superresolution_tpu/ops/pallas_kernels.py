@@ -83,7 +83,7 @@ def fused_conv3x3_depth_to_space(x: jnp.ndarray, w: jnp.ndarray,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
