@@ -170,8 +170,39 @@ def cmd_upscale(args):
                     model = fused_rrdb_model(params, model)
                 except (ValueError, KeyError):
                     pass  # unsupported layout: standard apply
-    out = upscale(img, scale=scale, model=model, params=params,
-                  tile=args.tile, halo=args.halo, blend=args.blend)
+    if getattr(args, "mesh_data", None) and args.mesh_data > 1:
+        # multi-chip tile-parallel inference: tiles sharded over the
+        # 'data' mesh axis (infer/tiled_device.py)
+        import jax
+        import jax.numpy as jnp
+
+        from superresolution_tpu.infer import make_tiled_infer_staged
+        from superresolution_tpu.infer.tiled import _default_model_params
+        from superresolution_tpu.models.rrdbnet import RRDBNet
+        from superresolution_tpu.parallel import create_mesh
+        from superresolution_tpu.utils.config import MeshConfig
+
+        arr = img if img.ndim == 3 else img[..., None]
+        model, params = _default_model_params(
+            arr, scale, model, params, tile=args.tile, halo=args.halo)
+        if not isinstance(model, RRDBNet):
+            print("error: --mesh-data upscaling needs a trunk/tail"
+                  " model (the rrdbnet family) without --fast-attn",
+                  file=sys.stderr)
+            return 2
+        mesh = create_mesh(MeshConfig(data=args.mesh_data, spatial=1))
+        h, w, c = arr.shape
+        runner = make_tiled_infer_staged(
+            lambda t: model.apply(params, t, method="trunk"),
+            lambda f: model.apply(params, f, method="tail"),
+            scale, args.tile, args.halo, tail_batch=4, h=h, w=w,
+            channels=c, mesh=mesh)
+        out = np.asarray(runner(jnp.asarray(arr)))  # runner is jitted
+        if img.ndim == 2:
+            out = out[..., 0]
+    else:
+        out = upscale(img, scale=scale, model=model, params=params,
+                      tile=args.tile, halo=args.halo, blend=args.blend)
     if args.output.endswith((".tif", ".tiff")) and out.shape[-1] == 1:
         save_tiff16(out, args.output)
     else:
@@ -355,6 +386,9 @@ def build_parser():
     s.add_argument("--tile", type=int, default=256)
     s.add_argument("--halo", type=int, default=16)
     s.add_argument("--blend", default="crop", choices=["crop", "hann"])
+    s.add_argument("--mesh-data", type=int, default=None,
+                   help="shard the tile batch over N chips (tile-"
+                        "parallel multi-chip inference; rrdbnet family)")
     s.set_defaults(fn=cmd_upscale)
 
     s = sub.add_parser("benchmark")
