@@ -62,6 +62,20 @@ def main():
         fused_dense_block(pack(v), w, width=64), 64))(x)
     check("fused_dense_block", got, ref, 0.02)
 
+    # 1b. the full fused trunk (incl. the folded RRDB residual) vs the
+    # model's trunk apply
+    from superresolution_tpu.infer.fused_trunk import make_fused_trunk
+    from superresolution_tpu.models.rrdbnet import RRDBNet as _RRDB
+
+    tm = _RRDB(scale=4, in_channels=3, out_channels=3, features=64,
+               num_blocks=2, growth=32, upsampler="pixelshuffle")
+    tv = tm.init(key, jnp.zeros((1, 16, 16, 3)))
+    xt = jax.random.uniform(jax.random.key(7), (2, 48, 64, 3),
+                            jnp.bfloat16)
+    ref = jax.jit(lambda v: tm.apply(tv, v, method="trunk"))(xt)
+    got = jax.jit(make_fused_trunk(tv, tm))(xt)
+    check("fused_trunk_residual_fold", got, ref, 0.02)
+
     # 2. phase-space tail vs the RRDBNet tail apply
     from superresolution_tpu.infer.phase_tail import make_phase_tail
     from superresolution_tpu.models.rrdbnet import RRDBNet

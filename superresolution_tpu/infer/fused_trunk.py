@@ -92,10 +92,12 @@ def make_fused_trunk(variables, model, rb=None, interpret=None):
                                   interpret=interp)
             y = fused_dense_block(y, list(w1), width=w, rb=rbk,
                                   interpret=interp)
+            # the RRDB residual (models/rrdbnet.py RRDB.__call__) folds
+            # into the third kernel's epilogue: the separate XLA pass
+            # cost 4.85 ms/RRDB (benchmarks/exp_r13_residual.py)
             y = fused_dense_block(y, list(w2), width=w, rb=rbk,
-                                  interpret=interp)
-            # RRDB residual (models/rrdbnet.py RRDB.__call__)
-            return carry + y * jnp.asarray(0.2, y.dtype), None
+                                  interpret=interp, residual=carry)
+            return y, None
 
         xs = tuple(stacked[0] + stacked[1] + stacked[2])
         out, _ = jax.lax.scan(body, xp, xs)

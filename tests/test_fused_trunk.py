@@ -100,3 +100,24 @@ def test_fused_rrdb_model_matches_apply():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=0.05, rtol=0.08)
 
+
+
+def test_fused_dense_block_residual_fold_matches_two_step(rng):
+    """fused_dense_block(residual=carry) equals the two-step form
+    (kernel then XLA `carry + out*0.2`) to FMA rounding — XLA emits a
+    fused multiply-add for the separate pass, the kernel a mul+add."""
+    from superresolution_tpu.models.rrdbnet import FusedDenseBlock
+
+    key = jax.random.key(0)
+    blk = FusedDenseBlock(features=16, growth=8)
+    x = jax.random.normal(jax.random.key(1), (2, 12, 20, 16)) * 0.5
+    dp = blk.init(key, x)["params"]
+    w = proj_weights(dp, jnp.float32)
+    xp = pack(x)
+    carry = jax.random.normal(jax.random.key(2), xp.shape) * 0.5
+    two_step = carry + fused_dense_block(
+        xp, w, width=20, rb=4, interpret=True) * jnp.asarray(0.2, xp.dtype)
+    folded = fused_dense_block(xp, w, width=20, rb=4, interpret=True,
+                               residual=carry)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(two_step),
+                               atol=1e-5, rtol=1e-5)
