@@ -21,6 +21,8 @@ harness compares against (north star: >= 4x => >= 5.6 MP/s/chip).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -106,6 +108,27 @@ def main() -> None:
     sanity = float(jnp.mean(out))
     assert np.isfinite(sanity)
 
+    # On-hardware kernel equivalence as a driver-visible artifact
+    # (VERDICT r2 item 5): every production Pallas kernel (incl. the r3
+    # train-backward and chained-RRDB kernels) vs its XLA reference on
+    # real Mosaic. Results land in CHIPEQ.json; the headline line
+    # carries the verdict. SRTPU_SKIP_CHIPEQ=1 opts out (dev loops).
+    chipeq_pass = None
+    if not os.environ.get("SRTPU_SKIP_CHIPEQ"):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        try:
+            import chip_equivalence
+
+            chipeq = chip_equivalence.run_all()
+            chipeq_pass = chipeq["pass"]
+        except Exception as e:  # never lose the headline metric
+            chipeq = {"pass": False, "error": repr(e)}
+            chipeq_pass = False
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "CHIPEQ.json"), "w") as f:
+            json.dump(chipeq, f, indent=2)
+
     mp = h * w / 1e6
     value = mp / dt  # single chip
     # model cost: ~35.8 TFLOPs per input MP (BENCHMARKS.md derivation);
@@ -123,6 +146,7 @@ def main() -> None:
         "mfu_vs_nominal_197tf": round(value * tflops_per_mp / 197.0, 3),
         "vs_r2_xla_conv_envelope_42tf": round(
             value * tflops_per_mp / 42.4, 3),
+        "chipeq_pass": chipeq_pass,
     }))
 
 

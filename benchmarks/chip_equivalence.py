@@ -25,6 +25,7 @@ from superresolution_tpu.utils.runtime import setup_jax_cache
 setup_jax_cache()
 
 FAILED = []
+RESULTS = {}
 
 
 def check(name, got, ref, tol):
@@ -36,14 +37,26 @@ def check(name, got, ref, tol):
     d = float(np.max(np.abs(g - r)))
     scale = max(float(np.max(np.abs(r))), 1e-6)
     ok = d / scale <= tol
-    print(json.dumps({name: {"max_diff": round(d, 6),
-                             "rel": round(d / scale, 6), "tol": tol,
-                             "pass": ok}}), flush=True)
+    RESULTS[name] = {"max_diff": round(d, 6),
+                     "rel": round(d / scale, 6), "tol": tol, "pass": ok}
+    print(json.dumps({name: RESULTS[name]}), flush=True)
     if not ok:
         FAILED.append(name)
 
 
-def main():
+def run_all() -> dict:
+    """Run every check; returns {'pass': bool, 'failed': [...],
+    'results': {...}} — imported by bench.py so real-Mosaic kernel
+    regressions surface in a driver-visible artifact (CHIPEQ json,
+    VERDICT r2 item 5)."""
+    FAILED.clear()
+    RESULTS.clear()
+    _run_checks()
+    return {"pass": not FAILED, "failed": list(FAILED),
+            "results": dict(RESULTS)}
+
+
+def _run_checks():
     assert jax.default_backend() != "cpu", "run on the chip"
     key = jax.random.key(0)
 
@@ -149,6 +162,55 @@ def main():
     check("star_l1_value", got, ref, 1e-4)
     check("star_l1_grad", ggot, gref, 1e-4)
 
+    # 6. fused dense-block TRAINING kernel (r3): value + dx + dW on real
+    # Mosaic vs jax.grad of the XLA packed-block oracle
+    from superresolution_tpu.ops.pallas_dense_trunk import PAD
+    from superresolution_tpu.ops.pallas_dense_trunk_vjp import (
+        fused_dense_block_train, xla_reference_packed_block)
+
+    xpv = pack(x)  # [2, 48, wp, 64] bf16 from check 1
+    wt = tuple(w)
+    cot = jax.random.normal(jax.random.key(8), xpv.shape,
+                            jnp.bfloat16) * 0.1
+
+    def loss_fused(a, ws_):
+        return jnp.sum((fused_dense_block_train(a, ws_, None, 64, None,
+                                                False) * cot)
+                       .astype(jnp.float32))
+
+    def loss_ref(a, ws_):
+        return jnp.sum((xla_reference_packed_block(a, ws_, 64) * cot)
+                       .astype(jnp.float32))
+
+    (vg, (dxg, dwg)) = jax.jit(jax.value_and_grad(
+        loss_fused, argnums=(0, 1)))(xpv, wt)
+    (vr, (dxr, dwr)) = jax.jit(jax.value_and_grad(
+        loss_ref, argnums=(0, 1)))(xpv, wt)
+    check("dense_train_value", vg, vr, 0.02)
+    check("dense_train_dx", dxg[:, :, PAD:PAD + 64],
+          dxr[:, :, PAD:PAD + 64], 0.03)
+    # bias grad is f32 and large-N summed; weight grads bf16 — compare
+    # the full stacked set at bf16-scale tolerance
+    for i in (0, 3, 15):
+        check(f"dense_train_dw{i}", dwg[i], dwr[i], 0.03)
+
+    # 7. chained whole-RRDB kernel (r3) vs three fused blocks + residual
+    from superresolution_tpu.ops.pallas_dense_trunk import fused_rrdb
+
+    w3 = [proj_weights(FusedDenseBlock(features=64, growth=32).init(
+        jax.random.key(20 + i), x)["params"], jnp.bfloat16)
+        for i in range(3)]
+    a = jax.jit(lambda v: fused_dense_block(v, w3[0], width=64))(xpv)
+    bchain = jax.jit(lambda v: fused_dense_block(v, w3[1], width=64))(a)
+    ref = jax.jit(lambda v, r: fused_dense_block(
+        v, w3[2], width=64, residual=r))(bchain, xpv)
+    got = jax.jit(lambda v: fused_rrdb(
+        v, w3[0], w3[1], w3[2], width=64))(xpv)
+    check("fused_rrdb_chained", got, ref, 0.02)
+
+
+def main():
+    _run_checks()
     if FAILED:
         print(json.dumps({"FAILED": FAILED}), flush=True)
         raise SystemExit(1)

@@ -62,9 +62,14 @@ def _stacked_weights(body, num_blocks, dtype):
     return out
 
 
-def make_fused_trunk(variables, model, rb=None, interpret=None):
+def make_fused_trunk(variables, model, rb=None, interpret=None,
+                     chain_rrdb=False):
     """-> trunk_fn(x [B,H,W,Cin]) equivalent to
-    model.apply(variables, x, method='trunk')."""
+    model.apply(variables, x, method='trunk').
+
+    chain_rrdb: run each RRDB's 3 dense blocks + residual as ONE Pallas
+    program (ops/pallas_dense_trunk.fused_rrdb, halo 15) — kills 2 of 3
+    per-RRDB packed-tensor HBM boundaries at a deeper halo cascade."""
     if not model.scan_blocks or not model.fused_dense:
         raise ValueError("fused trunk requires scan_blocks and "
                          "fused_dense (the production layout)")
@@ -88,6 +93,12 @@ def make_fused_trunk(variables, model, rb=None, interpret=None):
 
         def body(carry, ws):
             w0, w1, w2 = (ws[:n_w], ws[n_w:2 * n_w], ws[2 * n_w:])
+            if chain_rrdb:
+                from superresolution_tpu.ops.pallas_dense_trunk import (
+                    fused_rrdb)
+
+                return fused_rrdb(carry, list(w0), list(w1), list(w2),
+                                  width=w, interpret=interp), None
             y = fused_dense_block(carry, list(w0), width=w, rb=rbk,
                                   interpret=interp)
             y = fused_dense_block(y, list(w1), width=w, rb=rbk,

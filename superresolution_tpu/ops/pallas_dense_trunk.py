@@ -119,16 +119,18 @@ def _lrelu(x):
             * jnp.minimum(x, jnp.asarray(0, x.dtype)))
 
 
-def _kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref=None,
-            rb, wp, width, nb, h_img, g, c, res_ref=None):
-    (a_px, b_px, c_px, bias_px,
-     a_1, b_1, c_1, a_2, b_2, c_2, a_3, b_3, c_3, a_4, b_4, c_4) = w_refs
-    row_start = (pl.program_id(0) % nb) * rb
+def dense_cascade(xf, weights, *, wp, width, row_start, h_img, g,
+                  out_halo=0):
+    """The 5-conv dense-block body on a flat token stream.
 
-    top = top_ref[0].reshape(HALO * wp, c)
-    mid = mid_ref[0].reshape(rb * wp, c)
-    bot = bot_ref[0].reshape(HALO * wp, c)
-    xf = jnp.concatenate([top, mid, bot], axis=0)
+    xf: [m, cin] at halo `out_halo + HALO`; weights: the 16-entry
+    ref/array list from proj_weights. Returns the block output
+    (x_center + 0.2 * acc) at halo `out_halo` — shared by the
+    single-block kernel (out_halo=0) and the chained whole-RRDB kernel
+    (out_halo = 10, 5, 0 for its three stages).
+    """
+    (a_px, b_px, c_px, bias_px,
+     a_1, b_1, c_1, a_2, b_2, c_2, a_3, b_3, c_3, a_4, b_4, c_4) = weights
 
     def rconv(u, a, b, cm, mask_k, bias=None):
         mu = u.shape[0]
@@ -152,7 +154,7 @@ def _kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref=None,
         o2 = out.reshape(rows, wp, n)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
-        r_img = row + (row_start - HALO + mask_k)
+        r_img = row + (row_start - out_halo - HALO + mask_k)
         ok = ((col >= PAD) & (col < PAD + width)
               & (r_img >= 0) & (r_img < h_img))
         o2 = jnp.where(ok, o2, jnp.asarray(0, o2.dtype))
@@ -183,13 +185,24 @@ def _kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref=None,
         if i < 4:
             y = _lrelu(pre[i - 1])
     xc = xf[HALO * wp:HALO * wp + mo]
-    out = xc + acc * jnp.asarray(0.2, xc.dtype)
+    return xc + acc * jnp.asarray(0.2, xc.dtype)
+
+
+def _kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref=None,
+            rb, wp, width, nb, h_img, g, c, res_ref=None):
+    row_start = (pl.program_id(0) % nb) * rb
+    top = top_ref[0].reshape(HALO * wp, c)
+    mid = mid_ref[0].reshape(rb * wp, c)
+    bot = bot_ref[0].reshape(HALO * wp, c)
+    xf = jnp.concatenate([top, mid, bot], axis=0)
+    out = dense_cascade(xf, w_refs, wp=wp, width=width,
+                        row_start=row_start, h_img=h_img, g=g)
     if res_ref is not None:
         # fold the RRDB-level residual (carry + block_out*0.2) into this
         # kernel's epilogue — equal to the separate XLA pass up to FMA
         # rounding, and the pass itself (measured 4.85 ms/RRDB at the
         # bench geometry, benchmarks/exp_r13_residual.py) disappears
-        res = res_ref[0].reshape(mo, c)
+        res = res_ref[0].reshape(rb * wp, c)
         out = res + out * jnp.asarray(0.2, out.dtype)
     out_ref[0] = out.reshape(rb, wp, c)
 
@@ -236,4 +249,72 @@ def fused_dense_block(xp, weights, *, width, rb=None, interpret=False,
         out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp, c), xp.dtype),
         interpret=interpret,
     )(tops, mid, bots, *weights, *extra)
+    return out.reshape(b, h, wp, c)
+
+
+# --------------------------------------------------------------------
+# Chained whole-RRDB kernel: all 3 dense blocks of one RRDB (plus the
+# RRDB-level residual) in ONE Pallas program — kills 2 of the 3
+# per-RRDB packed-tensor HBM write+read boundaries at the cost of a
+# deeper halo cascade (x at halo 15; per-stage conv extents average
+# +24/+14/+4 rows vs +4.8 each for separate calls).
+
+RRDB_HALO = 3 * HALO  # 15
+
+
+def pick_rb_rrdb(h: int, wp: int, budget_rows: int = 17000) -> int:
+    """The chained kernel holds up to ~3x a single block's live VMEM
+    (python-unrolled stages do not reuse scoped stack)."""
+    return largest_row_block(h, max(1, budget_rows // wp - 2 * RRDB_HALO))
+
+
+def _rrdb_kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref, rb, wp,
+                 width, nb, h_img, g, c):
+    w0, w1, w2 = (w_refs[:16], w_refs[16:32], w_refs[32:48])
+    row_start = (pl.program_id(0) % nb) * rb
+    top = top_ref[0].reshape(RRDB_HALO * wp, c)
+    mid = mid_ref[0].reshape(rb * wp, c)
+    bot = bot_ref[0].reshape(RRDB_HALO * wp, c)
+    xf = jnp.concatenate([top, mid, bot], axis=0)
+    kw = dict(wp=wp, width=width, row_start=row_start, h_img=h_img, g=g)
+    b1 = dense_cascade(xf, w0, out_halo=2 * HALO, **kw)
+    b2 = dense_cascade(b1, w1, out_halo=HALO, **kw)
+    b3 = dense_cascade(b2, w2, out_halo=0, **kw)
+    xc = xf[RRDB_HALO * wp:RRDB_HALO * wp + rb * wp]
+    out = xc + b3 * jnp.asarray(0.2, xc.dtype)
+    out_ref[0] = out.reshape(rb, wp, c)
+
+
+def fused_rrdb(xp, w0, w1, w2, *, width, rb=None, interpret=False):
+    """One whole RRDB (3 dense blocks + residual) on packed input.
+
+    xp: [B, H, Wp, C]; w0/w1/w2: proj_weights lists for the three dense
+    blocks. Returns [B, H, Wp, C] — equal to three fused_dense_block
+    calls with the residual fold, up to f.p. reassociation.
+    """
+    b, h, wp, c = xp.shape
+    g = w0[4].shape[0] // 3
+    if rb is None:
+        rb = pick_rb_rrdb(h, wp)
+    nb = h // rb
+    tops, mid, bots = edge_windows(xp, rb, nb, halo=RRDB_HALO)
+    spec_edge, spec_mid, _ = window_specs(rb, wp, c, halo=RRDB_HALO)
+    weights = list(w0) + list(w1) + list(w2)
+
+    def kernel(*refs):
+        *ins, out = refs
+        _rrdb_kernel(*ins, out_ref=out, rb=rb, wp=wp, width=width,
+                     nb=nb, h_img=h, g=g, c=c)
+
+    out = pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        grid=(b * nb,),
+        in_specs=[spec_edge, spec_mid, spec_edge]
+        + [const_spec(t) for t in weights],
+        out_specs=spec_mid,
+        out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp, c), xp.dtype),
+        interpret=interpret,
+    )(tops, mid, bots, *weights)
     return out.reshape(b, h, wp, c)

@@ -1,0 +1,401 @@
+"""Training-grade fused dense block: custom_vjp with a fused Pallas
+BACKWARD kernel, so RRDB-family TRAINING runs at the fused-kernel
+envelope instead of the per-conv HBM round-trip XLA envelope
+(VERDICT r2 item 1 — the largest remaining perf surface).
+
+Forward is ops/pallas_dense_trunk.fused_dense_block unchanged. Backward
+is ONE Pallas program per row block that
+
+  1. recomputes the forward cascade over an extended halo (x at halo 9:
+     each of the 4 pre-activations is needed `stage` rows beyond the
+     block for the transposed-conv cascade),
+  2. runs the reverse cascade dout -> dx as 5 transposed roll-convs
+     (a transposed 3x3 SAME conv is another 3x3 conv with dy/dx-flipped,
+     channel-transposed taps — same lhs/A/B/C machinery, flipped mats
+     precomputed outside the kernel),
+  3. accumulates all 15 tap-weight grads + the bias grad in VMEM f32
+     across the sequential grid (dW = lhs_own^T @ dp_own, K = rb*wp —
+     the best dot shape class on the chip), masked to each block's own
+     rows so every image pixel contributes exactly once.
+
+Masking rule (the correctness core, mirrors the forward kernel): every
+backward tensor whose forward counterpart was masked gets the SAME
+(pad-column, out-of-image-row) mask — dp_i before conv_T/wgrad, dpre_i
+after the lrelu'-select. dx is NOT masked: pad-column input cotangents
+are real (forward reads pad zeros through taps) and stay confined in
+the packed chain (pack^T drops them; tests lock two chained blocks).
+
+Precision matches XLA bf16 training: activations/weights bf16, every
+dot f32-accumulated, weight grads accumulated f32 across the grid and
+cast to the param dtype once at the end; dp tensors stay f32 inside the
+kernel (also required: Mosaic rejects bf16 dynamic_rotate, and the
+wgrad rolls ride dp).
+
+Capability parity: the backward of BasicSR's RRDB dense block
+(reference src/architecture.py:38-43 under scripts/Modello_supporto.py:133
+autograd), as a TPU-native fused kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from superresolution_tpu.ops.pallas_dense_trunk import (
+    HALO,
+    PAD,
+    fused_dense_block,
+    pack_width,
+)
+from superresolution_tpu.ops.pallas_windows import (
+    const_spec,
+    edge_windows,
+    largest_row_block,
+    window_specs,
+)
+
+XHALO = 2 * HALO - 1  # x halo for the backward recompute cascade (9)
+
+
+def proj_weights_traced(dense_params, dtype=jnp.bfloat16):
+    """Traced (differentiable) twin of pallas_dense_trunk.proj_weights:
+    FusedDenseBlock param subtree -> kernel weight tuple, as jnp ops so
+    weight-layout cotangents flow back to the flax tree under jax.grad.
+    """
+    out = []
+    px = dense_params["Conv_0"]["Conv_0"]
+    kernels = [px["kernel"]]
+    for i in range(1, 5):
+        kernels.append(dense_params[f"proj_y{i}"]["kernel"])
+    for j, w in enumerate(kernels):
+        cin, n = w.shape[2], w.shape[3]
+        for dx in (1, 0, 2):
+            out.append(w[:, dx].reshape(3 * cin, n).astype(dtype))
+        if j == 0:
+            out.append(px["bias"].reshape(1, n).astype(jnp.float32))
+    return tuple(out)
+
+
+def pick_rb_bwd(h: int, wp: int, budget_rows: int = 9000) -> int:
+    """Backward holds ~3x the forward's live VMEM per token (recompute
+    stages + f32 dp cascade + wgrad lhs); budget measured at rb=16,
+    wp=272 ~ 50 MB."""
+    return largest_row_block(h, max(1, budget_rows // wp - 2 * XHALO))
+
+
+def flip_weights(weights):
+    """Forward A/B/C stacks -> transposed-conv A'/B'/C' stacks (f32).
+
+    Forward tap mats are [3*cin, n], dy-major. The transposed conv's
+    taps are w'[dy, dx] = w[2-dy, 2-dx]^T, so A' = flip-dy(A)^T,
+    B' = flip-dy(C)^T, C' = flip-dy(B)^T (the dx=-1 tap of the flipped
+    kernel is the original dx=+1 tap). f32 because they multiply the
+    f32 dp cascade.
+    """
+    (a_px, b_px, c_px, _bias, *rest) = weights
+    convs = [(a_px, b_px, c_px)] + [tuple(rest[i:i + 3])
+                                    for i in range(0, 12, 3)]
+    out = []
+    for a, b, c in convs:
+        n = a.shape[1]
+        cin = a.shape[0] // 3
+
+        def ft(t):
+            return (t.reshape(3, cin, n)[::-1]
+                    .transpose(0, 2, 1).reshape(3 * n, cin)
+                    .astype(jnp.float32))
+
+        out.extend([ft(a), ft(c), ft(b)])
+    return out
+
+
+def _rconv_acc(u, a, b, cm, wp, bias=None):
+    """Roll-conv accumulate: u [mu, cin] -> f32 [mu - 2*wp, n]."""
+    mu = u.shape[0]
+    mo = mu - 2 * wp
+    lhs = jnp.concatenate(
+        [u[0:mo], u[wp:wp + mo], u[2 * wp:2 * wp + mo]], axis=1)
+    acc = jnp.dot(lhs, a[:], preferred_element_type=jnp.float32)
+    if bias is not None:
+        acc = acc + bias[:]
+    acc = acc + pltpu.roll(
+        jnp.dot(lhs, b[:], preferred_element_type=jnp.float32), 1, 0)
+    acc = acc + pltpu.roll(
+        jnp.dot(lhs, cm[:], preferred_element_type=jnp.float32),
+        mo - 1, 0)
+    return acc
+
+
+def _mask_flat(o, *, wp, width, off, row_start, h_img):
+    """Zero pad columns and out-of-image rows; `off` is the tensor's
+    halo (rows run [row_start - off, row_start + rows - off))."""
+    rows = o.shape[0] // wp
+    n = o.shape[1]
+    o2 = o.reshape(rows, wp, n)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+    r_img = row + (row_start - off)
+    ok = ((col >= PAD) & (col < PAD + width)
+          & (r_img >= 0) & (r_img < h_img))
+    return jnp.where(ok, o2, jnp.asarray(0, o2.dtype)).reshape(o.shape)
+
+
+def _bwd_kernel(top_ref, mid_ref, bot_ref, dtop_ref, dmid_ref, dbot_ref,
+                *w_refs, dx_ref=None, dw_refs=None, rb, wp, width, nb,
+                h_img, g, c, has_res):
+    (a_px, b_px, c_px, bias_px,
+     a_1, b_1, c_1, a_2, b_2, c_2, a_3, b_3, c_3, a_4, b_4, c_4,
+     *flipped) = w_refs
+    fl = [tuple(flipped[i:i + 3]) for i in range(0, 15, 3)]
+    row_start = (pl.program_id(0) % nb) * rb
+    m = [(rb + 2 * k) * wp for k in range(XHALO + 1)]  # tokens at halo k
+
+    def sl(t, j, k):
+        """Slice a flat tensor at halo j down to halo k (k <= j)."""
+        return t[(j - k) * wp:(j - k) * wp + m[k]]
+
+    def mask(o, off):
+        return _mask_flat(o, wp=wp, width=width, off=off,
+                          row_start=row_start, h_img=h_img)
+
+    def fconv(u, a, b, cm, off, bias=None):
+        acc = _rconv_acc(u, a, b, cm, wp, bias)
+        return mask(acc, off).astype(u.dtype)
+
+    # ---- forward recompute over the extended halo (bit-identical ops
+    # to the forward kernel at every kept position) ----
+    xf = jnp.concatenate([top_ref[0].reshape(XHALO * wp, c),
+                          mid_ref[0].reshape(rb * wp, c),
+                          bot_ref[0].reshape(XHALO * wp, c)], axis=0)
+    px = fconv(xf, a_px, b_px, c_px, 8, bias_px)              # halo 8
+    y1 = (jnp.maximum(px[:, 0:g], jnp.asarray(0, px.dtype))
+          + jnp.asarray(0.2, px.dtype)
+          * jnp.minimum(px[:, 0:g], jnp.asarray(0, px.dtype)))
+
+    def lrelu(t):
+        return (jnp.maximum(t, jnp.asarray(0, t.dtype))
+                + jnp.asarray(0.2, t.dtype)
+                * jnp.minimum(t, jnp.asarray(0, t.dtype)))
+
+    p1 = fconv(y1, a_1, b_1, c_1, 7)                          # halo 7
+    pre2 = sl(px, 8, 7)[:, g:2 * g] + p1[:, 0:g]
+    y2 = lrelu(pre2)
+    p2 = fconv(y2, a_2, b_2, c_2, 6)                          # halo 6
+    pre3 = (sl(px, 8, 6)[:, 2 * g:3 * g] + sl(p1, 7, 6)[:, g:2 * g]
+            + p2[:, 0:g])
+    y3 = lrelu(pre3)
+    p3 = fconv(y3, a_3, b_3, c_3, 5)                          # halo 5
+    pre4 = (sl(px, 8, 5)[:, 3 * g:4 * g] + sl(p1, 7, 5)[:, 2 * g:3 * g]
+            + sl(p2, 6, 5)[:, g:2 * g] + p3[:, 0:g])
+    y4 = lrelu(pre4)
+
+    # ---- reverse cascade ----
+    df = jnp.concatenate([dtop_ref[0].reshape(HALO * wp, c),
+                          dmid_ref[0].reshape(rb * wp, c),
+                          dbot_ref[0].reshape(HALO * wp, c)], axis=0)
+    s_acc = 0.2 * 0.2 if has_res else 0.2
+    s_id = 0.2 if has_res else 1.0
+    dacc5 = mask(df.astype(jnp.float32) * s_acc, HALO)        # halo 5
+
+    def tconv(dp, conv_idx, off):
+        """Masked transposed conv: dp f32 at halo off+1 -> f32 at off."""
+        ap, bp, cp = fl[conv_idx]
+        return mask(_rconv_acc(dp, ap, bp, cp, wp), off)
+
+    def dlrelu(pre_slice, dy):
+        pre_f = pre_slice.astype(jnp.float32)
+        return jnp.where(pre_f > 0.0, dy, 0.2 * dy)
+
+    dp4 = sl(dacc5, 5, 5)                                     # [m5, c]
+    dy4 = tconv(dp4, 4, 4)
+    dpre4 = dlrelu(sl(pre4, 5, 4), dy4)                       # halo 4
+    dp3 = jnp.concatenate([dpre4, sl(dacc5, 5, 4)], axis=1)   # [m4, g+c]
+    dy3 = tconv(dp3, 3, 3)
+    dpre3 = dlrelu(sl(pre3, 6, 3), dy3)                       # halo 3
+    dp2 = jnp.concatenate([dpre3, sl(dpre4, 4, 3),
+                           sl(dacc5, 5, 3)], axis=1)          # [m3, 2g+c]
+    dy2 = tconv(dp2, 2, 2)
+    dpre2 = dlrelu(sl(pre2, 7, 2), dy2)                       # halo 2
+    dp1 = jnp.concatenate([dpre2, sl(dpre3, 3, 2), sl(dpre4, 4, 2),
+                           sl(dacc5, 5, 2)], axis=1)          # [m2, 3g+c]
+    dy1 = tconv(dp1, 1, 1)
+    dpre1 = dlrelu(sl(px, 8, 1)[:, 0:g], dy1)                 # halo 1
+    dpx = jnp.concatenate([dpre1, sl(dpre2, 2, 1), sl(dpre3, 3, 1),
+                           sl(dpre4, 4, 1), sl(dacc5, 5, 1)],
+                          axis=1)                             # [m1, 4g+c]
+    # dx: transposed conv UNmasked (pad-column cotangents are real and
+    # stay confined in the packed chain) + the identity path
+    ax, bx, cx = fl[0]
+    dxc = _rconv_acc(dpx, ax, bx, cx, wp)                     # [m0, c]
+    dx = dxc + sl(df, 5, 0).astype(jnp.float32) * s_id
+    dx_ref[0] = dx.astype(dx_ref.dtype).reshape(rb, wp, c)
+
+    # ---- weight grads over this block's own rows ----
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in dw_refs:
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    stage_in = [(xf, XHALO), (y1, 8), (y2, 7), (y3, 6), (y4, 5)]
+    dps = [dpx, dp1, dp2, dp3, dp4]
+    dp_halo = [1, 2, 3, 4, 5]
+    m0 = m[0]
+    widx = 0
+    for j in range(5):
+        u, uh = stage_in[j]
+        u1 = sl(u, uh, 1)
+        lhs = jnp.concatenate(
+            [u1[0:m0], u1[wp:wp + m0], u1[2 * wp:2 * wp + m0]], axis=1)
+        dp0 = sl(dps[j], dp_halo[j], 0)                       # f32, masked
+        dpb = dp0.astype(u.dtype)
+        da = jax.lax.dot_general(lhs, dpb, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        db = jax.lax.dot_general(
+            lhs, pltpu.roll(dp0, m0 - 1, 0).astype(u.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dc = jax.lax.dot_general(
+            lhs, pltpu.roll(dp0, 1, 0).astype(u.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dw_refs[widx][...] += da
+        dw_refs[widx + 1][...] += db
+        dw_refs[widx + 2][...] += dc
+        if j == 0:
+            dw_refs[3][...] += jnp.sum(dp0, axis=0, keepdims=True)
+            widx += 4
+        else:
+            widx += 3
+
+
+def _bwd_impl(xp, weights, dout, has_res, width, rb, interpret):
+    b, h, wp, c = xp.shape
+    g = weights[4].shape[0] // 3
+    if rb is None:
+        rb = pick_rb_bwd(h, wp)
+    nb = h // rb
+    tops, mid, bots = edge_windows(xp, rb, nb, halo=XHALO)
+    dtops, dmid, dbots = edge_windows(dout, rb, nb, halo=HALO)
+    spec_x_edge, spec_mid, _ = window_specs(rb, wp, c, halo=XHALO)
+    spec_d_edge = window_specs(rb, wp, c, halo=HALO)[0]
+    flipped = flip_weights(weights)
+
+    # dW shapes mirror the forward weight list (f32 accumulators)
+    dw_shapes = []
+    for i, w in enumerate(weights):
+        dw_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+
+    def kernel(*refs):
+        ins = refs[:6 + len(weights) + len(flipped)]
+        outs = refs[6 + len(weights) + len(flipped):]
+        _bwd_kernel(*ins, dx_ref=outs[0], dw_refs=outs[1:], rb=rb, wp=wp,
+                    width=width, nb=nb, h_img=h, g=g, c=c,
+                    has_res=has_res)
+
+    out = pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        grid=(b * nb,),
+        in_specs=([spec_x_edge, spec_mid, spec_x_edge,
+                   spec_d_edge, spec_mid, spec_d_edge]
+                  + [const_spec(t) for t in weights]
+                  + [const_spec(t) for t in flipped]),
+        out_specs=[spec_mid] + [
+            pl.BlockSpec(s.shape, lambda i: (0,) * len(s.shape),
+                         memory_space=pltpu.VMEM) for s in dw_shapes],
+        out_shape=[jax.ShapeDtypeStruct((b * nb, rb, wp, c), xp.dtype)]
+        + dw_shapes,
+        interpret=interpret,
+    )(tops, mid, bots, dtops, dmid, dbots, *weights, *flipped)
+    dxp = out[0].reshape(b, h, wp, c)
+    dws = tuple(dw.astype(w.dtype) for dw, w in zip(out[1:], weights))
+    return dxp, dws
+
+
+def xla_reference_packed_block(xp, ws, width, residual=None):
+    """XLA re-expression of the packed fused dense block: 5 SAME convs
+    (zero H padding = the kernel's image-edge zero halo), every conv
+    output masked to zero pad columns, FusedDenseBlock dataflow. The
+    autodiff oracle for the fused backward kernel (tests +
+    benchmarks/chip_equivalence.py)."""
+    (a0, b0, c0, bias, a1, b1, c1, a2, b2, c2,
+     a3, b3, c3, a4, b4, c4) = ws
+    wp = xp.shape[2]
+    g = a1.shape[0] // 3
+    colmask = ((jnp.arange(wp) >= PAD)
+               & (jnp.arange(wp) < PAD + width))[None, None, :, None]
+
+    def lrelu(t):
+        return jnp.where(t > 0, t, jnp.asarray(0.2, t.dtype) * t)
+
+    def mconv(u, a, b_, c_, bias_=None):
+        cin, n = u.shape[-1], a.shape[1]
+        # tap mats are dy-major [3*cin, n]; dx order A=0, B=-1, C=+1
+        k = jnp.stack([b_.reshape(3, cin, n), a.reshape(3, cin, n),
+                       c_.reshape(3, cin, n)], axis=1)  # [dy, dx, cin, n]
+        # conv in f32 (bf16-valued operands, f32 accumulate — the same
+        # semantics as the kernel's dots; also keeps autodiff's
+        # transpose-conv dtypes consistent under mixed bf16/f32 args)
+        y = jax.lax.conv_general_dilated(
+            u.astype(jnp.float32), k.astype(jnp.float32), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias_ is not None:
+            y = y + bias_.astype(jnp.float32)
+        return jnp.where(colmask, y.astype(u.dtype),
+                         jnp.asarray(0, u.dtype))
+
+    px = mconv(xp, a0, b0, c0, bias)
+    acc = px[..., 4 * g:]
+    y1 = lrelu(px[..., :g])
+    p1 = mconv(y1, a1, b1, c1)
+    acc = acc + p1[..., 3 * g:]
+    y2 = lrelu(px[..., g:2 * g] + p1[..., :g])
+    p2 = mconv(y2, a2, b2, c2)
+    acc = acc + p2[..., 2 * g:]
+    y3 = lrelu(px[..., 2 * g:3 * g] + p1[..., g:2 * g] + p2[..., :g])
+    p3 = mconv(y3, a3, b3, c3)
+    acc = acc + p3[..., g:]
+    y4 = lrelu(px[..., 3 * g:4 * g] + p1[..., 2 * g:3 * g]
+               + p2[..., g:2 * g] + p3[..., :g])
+    p4 = mconv(y4, a4, b4, c4)
+    out = xp + (acc + p4) * jnp.asarray(0.2, xp.dtype)
+    if residual is not None:
+        out = residual + out * jnp.asarray(0.2, out.dtype)
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_dense_block_train(xp, weights, residual, width, rb=None,
+                            interpret=False):
+    """Differentiable fused dense block (+ optional folded residual).
+
+    Same contract as fused_dense_block, but weights is a TUPLE (pytree
+    arg) and gradients flow to xp, every weight, and residual via the
+    fused backward kernel. rb=None picks per-direction row blocks.
+    """
+    return fused_dense_block(xp, list(weights), width=width, rb=rb,
+                             interpret=interpret, residual=residual)
+
+
+def _fwd(xp, weights, residual, width, rb, interpret):
+    out = fused_dense_block(xp, list(weights), width=width, rb=rb,
+                            interpret=interpret, residual=residual)
+    return out, (xp, weights, residual)
+
+
+def _bwd(width, rb, interpret, saved, dout):
+    xp, weights, residual = saved
+    has_res = residual is not None
+    # forward and backward pick row blocks independently (backward holds
+    # ~3x the live VMEM per token)
+    rb_b = None if rb is None else rb
+    dxp, dws = _bwd_impl(xp, weights, dout, has_res, width, rb_b,
+                         interpret)
+    dres = dout if has_res else None
+    return dxp, dws, dres
+
+
+fused_dense_block_train.defvjp(_fwd, _bwd)

@@ -107,7 +107,11 @@ def pipeline_apply(mesh: Mesh, stage_fn, stage_params, x, *,
             lambda z: lax.pcast(z, (axis,), to="varying"),
             (jnp.zeros_like(xs[0]), jnp.zeros_like(xs)))
         (_, out), _ = lax.scan(step, init, jnp.arange(m + n - 1))
-        # only the last device's buffer is real; psum broadcasts it
+        # only the last device's buffer is real; psum broadcasts it.
+        # (a ring all-reduce moves ~2B(n-1)/n per link vs ~B for an
+        # ideal one-hop broadcast — acceptable until output bandwidth
+        # shows in profiles; a rotating-token broadcast riding the
+        # existing scan would halve it at real schedule complexity)
         return lax.psum(
             jnp.where(idx == n - 1, out, jnp.zeros_like(out)), axis)
 

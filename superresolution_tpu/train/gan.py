@@ -23,15 +23,20 @@ from superresolution_tpu.utils.precision import Policy
 def make_gan_steps(gen_model, disc_model, pixel_loss_fn, gen_tx, disc_tx,
                    policy: Policy, input_fn: Callable, gan_weight: float,
                    ema_decay: float | None = None, gan_start_step: int = 0,
-                   accum_steps: int = 1):
+                   accum_steps: int = 1,
+                   gen_apply_fn: Callable | None = None):
     """`gan_start_step` implements the ESRGAN two-phase schedule: before it,
     the generator trains pixel-only and the discriminator receives zero
     gradients (stays at init); after it, the adversarial terms switch on.
-    `accum_steps` scans micro-batches like the non-GAN train step."""
+    `accum_steps` scans micro-batches like the non-GAN train step.
+    `gen_apply_fn(params, lr) -> pred` overrides the plain generator
+    forward (e.g. train/fused_apply.py's fused-kernel trunk)."""
+    gen_apply = gen_apply_fn if gen_apply_fn is not None else (
+        lambda p, x: gen_model.apply(p, x))
 
     def _gen_forward(g_params, lr):
         params_c = policy.cast_to_compute(g_params)
-        return gen_model.apply(params_c, lr.astype(policy.compute_dtype))
+        return gen_apply(params_c, lr.astype(policy.compute_dtype))
 
     def _disc_forward(d_params, img):
         params_c = policy.cast_to_compute(d_params)
@@ -66,6 +71,13 @@ def make_gan_steps(gen_model, disc_model, pixel_loss_fn, gen_tx, disc_tx,
         accum_steps micro-batches via lax.scan."""
         b = lr.shape[0]
         k = max(1, min(accum_steps, b))
+        if b % k:
+            # static shapes: trace-time error, same contract as
+            # train/steps.py::make_train_step
+            raise ValueError(
+                f"batch {b} is not divisible by accum_steps {k}:"
+                f" {b % k} samples per step would be silently dropped"
+                " — pick accum_steps that divides the batch")
         if k == 1:
             return grad_fn(lr, hr)
         micro = b // k

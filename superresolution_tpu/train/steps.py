@@ -83,6 +83,12 @@ def make_train_step(model, loss_fn, tx, policy: Policy,
         # accumulates over LOADER batches, so its ACCUM_STEPS can exceed
         # one batch; here micro-batches split ONE batch)
         k = max(1, min(accum_steps, lr.shape[0]))
+        if lr.shape[0] % k:
+            # shapes are static under jit, so this raises at trace time
+            raise ValueError(
+                f"batch {lr.shape[0]} is not divisible by accum_steps {k}:"
+                f" {lr.shape[0] % k} samples per step would be silently"
+                " dropped — pick accum_steps that divides the batch")
         if k <= 1:
             grads, logs = grad_fn(state.params, lr, hr)
         else:

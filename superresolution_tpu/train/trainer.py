@@ -87,6 +87,12 @@ class Trainer:
         self.model = build_from_config(config.model, output_size=output_size)
         self.loss_fn = CombinedLoss(config.loss)
         steps_per_epoch = max(1, len(self.train_loader))
+        if config.train.steps_per_epoch is not None:
+            # explicit cap: epochs become fixed-length step budgets (the
+            # loop breaks after this many batches) and the cosine
+            # schedule's total_steps follows suit
+            steps_per_epoch = min(steps_per_epoch,
+                                  max(1, config.train.steps_per_epoch))
         total_steps = config.train.epochs * steps_per_epoch
         self.tx, self.schedule = make_optimizer(config.train, total_steps)
 
@@ -118,13 +124,42 @@ class Trainer:
                     "mesh.pipe > 1 requires an RRDBNet arch with"
                     " scan_blocks (the pipelined trunk body)")
             n_micro = config.mesh.pipe_microbatches or npipe
-            per_call = self.batch_size // max(1, config.train.accum_steps)
+            # clamp like make_train_step does, so accum_steps > batch
+            # fails here with the real divisibility message instead of a
+            # confusing 'batch 1' trace-time error
+            accum = max(1, min(config.train.accum_steps, self.batch_size))
+            per_call = self.batch_size // accum
             if per_call % n_micro:
                 raise ValueError(
                     f"per-step batch {per_call} not divisible by"
                     f" pipe_microbatches {n_micro}")
             pp_apply = make_pipeline_forward(self.mesh, self.model,
                                              n_micro)
+
+        # fused Pallas dense-block kernels for the train step (fwd+bwd,
+        # train/fused_apply.py) — the RRDB-family trunk at the fused
+        # envelope instead of the per-conv HBM round-trip XLA envelope
+        fused_apply = None
+        if npipe == 1 and config.train.fused_trunk is not False:
+            from superresolution_tpu.train.fused_apply import (
+                make_fused_train_apply,
+                make_fused_train_apply_dp,
+                supports_fused_train,
+            )
+
+            auto = (config.train.fused_trunk is None
+                    and jax.default_backend() == "tpu")
+            if ((config.train.fused_trunk or auto)
+                    and supports_fused_train(self.model)):
+                if self.mesh.devices.size > 1:
+                    # pallas_call has no GSPMD partitioning rule: on a
+                    # multi-device mesh the fused forward runs under
+                    # shard_map (batch on 'data', params replicated —
+                    # their cotangents psum in shard_map's transpose)
+                    fused_apply = make_fused_train_apply_dp(
+                        self.model, self.mesh)
+                else:
+                    fused_apply = make_fused_train_apply(self.model)
 
         if self.is_gan:
             self.disc = VGGStyleDiscriminator(
@@ -144,12 +179,14 @@ class Trainer:
                 gan_weight=config.loss.terms.get("gan", 0.005),
                 ema_decay=config.train.ema_decay,
                 gan_start_step=config.train.gan_start_step,
-                accum_steps=config.train.accum_steps))
+                accum_steps=config.train.accum_steps,
+                gen_apply_fn=fused_apply))
         else:
             self._train_step = jax.jit(make_train_step(
                 self.model, self.loss_fn, self.tx, self.policy,
                 self.input_fn, accum_steps=config.train.accum_steps,
-                ema_decay=config.train.ema_decay, apply_fn=pp_apply),
+                ema_decay=config.train.ema_decay,
+                apply_fn=pp_apply or fused_apply),
                 donate_argnums=0)
         self._eval_step = jax.jit(make_eval_step(
             self.model, self.policy, self.eval_input_fn,
@@ -260,6 +297,8 @@ class Trainer:
                     self.state, logs = self._train_step(self.state, batch, key)
                 step += 1
                 nb += 1
+                if nb >= self.steps_per_epoch:
+                    break  # explicit TrainConfig.steps_per_epoch cap
                 if epoch_logs is None:
                     epoch_logs = logs
                 else:

@@ -79,15 +79,16 @@ class LossConfig:
     charbonnier_eps: float = 1e-6
     astro_weight_scale: float = 5.0
     # torchvision vgg19.features[:18] == relu3_4 (reference Backup/src/losses.py:28)
+    # (term weights — gan, perceptual, ... — live in `terms`, nowhere else)
     perceptual_layers: tuple[str, ...] = ("relu3_4",)
-    gan_weight: float = 0.005
-    perceptual_weight: float = 0.05
 
 
 @dataclass(frozen=True)
 class TrainConfig:
     epochs: int = 150
-    steps_per_epoch: int | None = None  # None => len(dataset)//batch
+    # cap on train batches per epoch (None => one pass over the dataset);
+    # also the total_steps denominator for the cosine schedule
+    steps_per_epoch: int | None = None
     lr: float = 4e-4
     lr_min: float = 1e-7  # cosine floor (reference: scripts/Modello_supporto.py:108)
     weight_decay: float = 1e-2
@@ -108,6 +109,11 @@ class TrainConfig:
     gan_start_step: int = 0
     # debug mode: jax_debug_nans + host-side finite checks on logs/params
     debug_nans: bool = False
+    # fused Pallas dense-block kernels in the TRAINING step (forward +
+    # backward, train/fused_apply.py). None = auto: on when running on
+    # TPU and the model is an RRDB-family arch the rewrite supports;
+    # True forces it (interpret-mode on CPU), False disables.
+    fused_trunk: bool | None = None
 
 
 @dataclass(frozen=True)
@@ -130,7 +136,6 @@ class MeshConfig:
     # microbatches per step for pipe > 1 (0 => pipe; bubble fraction is
     # (pipe-1)/(microbatches+pipe-1), so more microbatches = fuller pipe)
     pipe_microbatches: int = 0
-    axis_names: tuple[str, ...] = ("data", "spatial")
 
 
 @dataclass(frozen=True)

@@ -142,3 +142,29 @@ def test_upscale_mesh_data_matches_single(tmp_path, rng):
     # at matched precision by test_mesh_tiled.py; the host CLI path runs
     # bf16 while the mesh path runs f32, and a random-init 23-block net
     # amplifies that dtype gap chaotically)
+
+
+def test_eval_folder_cli(tmp_path, capsys, rng):
+    d = tmp_path / "set5ish"
+    os.makedirs(d)
+    for i in range(2):
+        save_png(rng.random((20, 24), dtype=np.float32),
+                 str(d / f"img{i}.png"))
+    main(["eval-folder", str(d), "--model", "espcn", "--scale", "2",
+          "--tile", "8", "--halo", "4"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n"] == 2
+    # SSIM spans [-1, 1]; a random-init model on noise can dip below 0
+    assert np.isfinite(out["psnr"]) and -1.0 <= out["ssim"] <= 1.0
+
+
+def test_eval_folder_cli_blend_guard_mesh_data(tmp_path, capsys, rng):
+    """--blend != crop with --mesh-data > 1 errors out loudly instead of
+    silently crop-blending (round-2 ADVICE item 1)."""
+    src = str(tmp_path / "in.png")
+    save_png(rng.random((12, 12), dtype=np.float32), src)
+    rc = main(["upscale", "--input", src,
+               "--output", str(tmp_path / "o.png"), "--scale", "2",
+               "--tile", "8", "--halo", "4", "--blend", "hann",
+               "--mesh-data", "2"])
+    assert rc == 2

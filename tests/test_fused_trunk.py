@@ -73,6 +73,36 @@ def test_fused_dense_block_exact_and_chains():
                                np.asarray(ref2), atol=1e-4, rtol=1e-4)
 
 
+def test_fused_rrdb_chained_matches_three_blocks():
+    """The whole-RRDB chained kernel (ops fused_rrdb, halo 15) equals
+    three fused_dense_block calls + the residual fold."""
+    from superresolution_tpu.models.rrdbnet import FusedDenseBlock
+    from superresolution_tpu.ops.pallas_dense_trunk import fused_rrdb
+
+    blocks, ws = [], []
+    x = jax.random.normal(jax.random.key(8), (2, 16, 20, 16),
+                          jnp.float32) * 0.5
+    for i in range(3):
+        blk = FusedDenseBlock(features=16, growth=8)
+        dp = blk.init(jax.random.key(10 + i), x)["params"]
+        blocks.append((blk, dp))
+        ws.append(proj_weights(dp, jnp.float32))
+    xp = pack(x)
+    a = fused_dense_block(xp, ws[0], width=20, rb=8, interpret=True)
+    b = fused_dense_block(a, ws[1], width=20, rb=8, interpret=True)
+    ref = fused_dense_block(b, ws[2], width=20, rb=8, interpret=True,
+                            residual=xp)
+    got = fused_rrdb(xp, ws[0], ws[1], ws[2], width=20, rb=8,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # multi-row-block grid too (the deep-halo window construction)
+    got4 = fused_rrdb(xp, ws[0], ws[1], ws[2], width=20, rb=4,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_pick_rb():
     assert pick_rb(376, pack_width(400)) == 47
     assert pick_rb(392, pack_width(416)) == 56

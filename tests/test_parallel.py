@@ -163,3 +163,50 @@ def test_spatial_train_grads_match_single(rng):
     loss1_fn = make_spatial_loss(mesh1, apply_fn, l1_sum, halo, scale)
     np.testing.assert_allclose(float(loss1_fn(params, lr, hr)),
                                float(loss_r), rtol=1e-5)
+
+
+@requires_8
+def test_fused_trunk_dp_step_matches_single_device(rng):
+    """The shard_map-wrapped FUSED train apply (train/fused_apply.py,
+    pallas kernels fwd+bwd) under an 8-way data mesh produces the same
+    params as the single-device fused step — grads psum over the data
+    axis inside shard_map's transpose."""
+    from superresolution_tpu.models import RRDBNet
+    from superresolution_tpu.train.fused_apply import (
+        make_fused_train_apply,
+        make_fused_train_apply_dp,
+    )
+
+    model = RRDBNet(scale=2, in_channels=1, out_channels=1, features=16,
+                    num_blocks=1, growth=8, upsampler="pixelshuffle")
+    tcfg = TrainConfig(lr=1e-3, precision="fp32")
+    tx, _ = make_optimizer(tcfg, 100)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 1)))
+    dcfg = DataConfig(degradation="bicubic", augment=False)
+    input_fn = make_device_input(dcfg, 2)
+    loss_fn = CombinedLoss(LossConfig())
+    batch = {"hr": jnp.asarray(rng.random((8, 16, 16, 1),
+                                          dtype=np.float32))}
+    key = jax.random.key(5)
+
+    single = make_train_step(model, loss_fn, tx, get_policy("fp32"),
+                             input_fn,
+                             apply_fn=make_fused_train_apply(
+                                 model, interpret=True))
+    s0 = create_train_state(params, tx)
+    ref_state, ref_logs = jax.jit(single)(s0, batch, key)
+
+    mesh = create_mesh(MeshConfig(data=8, spatial=1))
+    dp = make_train_step(model, loss_fn, tx, get_policy("fp32"),
+                         input_fn,
+                         apply_fn=make_fused_train_apply_dp(
+                             model, mesh, interpret=True))
+    sharded_batch = shard_batch(mesh, jax.tree.map(np.asarray, batch))
+    s1 = create_train_state(params, tx)
+    dp_state, dp_logs = jax.jit(dp)(s1, sharded_batch, key)
+
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(dp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert abs(float(ref_logs["total"]) - float(dp_logs["total"])) < 1e-5
