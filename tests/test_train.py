@@ -321,6 +321,37 @@ def test_accum_steps_exceeding_batch_is_clamped(rng):
                                float(logs1["total"]), rtol=1e-5)
 
 
+def test_accum_not_dividing_batch_raises(rng):
+    """batch % accum_steps != 0 must raise loudly (at trace time), not
+    silently drop the remainder samples."""
+    _, state, _, tx = _tiny_setup(accum=1)
+    model = ESPCN(scale=2, in_channels=1, out_channels=1, f1=8, f2=8)
+    dcfg = DataConfig(degradation="bicubic", augment=False)
+    input_fn = make_device_input(dcfg, scale=2)
+    loss_fn = CombinedLoss(LossConfig(terms={"l1": 1.0}))
+    step = make_train_step(model, loss_fn, tx, get_policy("fp32"),
+                           input_fn, accum_steps=3)
+    batch = _batch(rng, n=4)  # 4 % 3 == 1 sample would be dropped
+    with pytest.raises(ValueError, match="not divisible by accum_steps"):
+        step(state, batch, jax.random.key(5))
+
+
+def test_steps_per_epoch_caps_epoch_length(tmp_path):
+    """TrainConfig.steps_per_epoch bounds batches per epoch and feeds the
+    schedule's total_steps (the knob was write-only before round 3)."""
+    cfg = get_preset("srcnn_x2").replace(
+        data=DataConfig(hr_patch=32, batch_size=4, synthetic_len=16,
+                        num_workers=0, degradation="bicubic"),
+        train=TrainConfig(epochs=2, lr=1e-3, precision="fp32",
+                          steps_per_epoch=2, eval_every=100,
+                          preview_every=100),
+        mesh=_MESH1)
+    tr = Trainer(cfg, workdir=str(tmp_path))
+    assert tr.steps_per_epoch == 2  # capped below len(loader) == 4
+    out = tr.fit()
+    assert out["final_step"] == 2 * 2
+
+
 def test_preview_cadence_independent_of_eval(tmp_path):
     """Previews follow preview_every even when it is not a multiple of
     eval_every (they used to be nested inside the eval branch)."""
