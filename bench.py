@@ -70,7 +70,12 @@ def main() -> None:
     # (1495 ms vs 1746 ms on this tile batch; BENCHMARKS.md r3)
     from superresolution_tpu.infer.fused_trunk import make_fused_trunk
 
-    fused_trunk = make_fused_trunk(params, model)
+    # SRTPU_CHAIN_RRDB=1: whole-RRDB chained kernel (halo 15, one
+    # pallas_call per RRDB) — the r3 A/B lever for the 2-of-3 HBM
+    # boundary saving vs the deeper halo cascade
+    fused_trunk = make_fused_trunk(
+        params, model,
+        chain_rrdb=bool(os.environ.get("SRTPU_CHAIN_RRDB")))
 
     def trunk_fn(x):
         return fused_trunk(x.astype(policy.compute_dtype))

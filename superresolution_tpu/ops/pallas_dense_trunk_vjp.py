@@ -80,21 +80,21 @@ def proj_weights_traced(dense_params, dtype=jnp.bfloat16):
     return tuple(out)
 
 
-def pick_rb_bwd(h: int, wp: int, budget_rows: int = 9000) -> int:
-    """Backward holds ~3x the forward's live VMEM per token (recompute
-    stages + f32 dp cascade + wgrad lhs); budget measured at rb=16,
-    wp=272 ~ 50 MB."""
+def pick_rb_bwd(h: int, wp: int, budget_rows: int = 13000) -> int:
+    """Backward holds ~2x the forward's live VMEM per token (recompute
+    stages + compute-dtype dp cascade + wgrad lhs)."""
     return largest_row_block(h, max(1, budget_rows // wp - 2 * XHALO))
 
 
-def flip_weights(weights):
-    """Forward A/B/C stacks -> transposed-conv A'/B'/C' stacks (f32).
+def flip_weights(weights, dtype=None):
+    """Forward A/B/C stacks -> transposed-conv A'/B'/C' stacks.
 
     Forward tap mats are [3*cin, n], dy-major. The transposed conv's
     taps are w'[dy, dx] = w[2-dy, 2-dx]^T, so A' = flip-dy(A)^T,
     B' = flip-dy(C)^T, C' = flip-dy(B)^T (the dx=-1 tap of the flipped
-    kernel is the original dx=+1 tap). f32 because they multiply the
-    f32 dp cascade.
+    kernel is the original dx=+1 tap). dtype defaults to the weights'
+    own (bf16 in production — the dp cascade runs in the compute dtype,
+    mirroring XLA's bf16 cotangents).
     """
     (a_px, b_px, c_px, _bias, *rest) = weights
     convs = [(a_px, b_px, c_px)] + [tuple(rest[i:i + 3])
@@ -103,11 +103,12 @@ def flip_weights(weights):
     for a, b, c in convs:
         n = a.shape[1]
         cin = a.shape[0] // 3
+        dt = dtype or a.dtype
 
         def ft(t):
             return (t.reshape(3, cin, n)[::-1]
                     .transpose(0, 2, 1).reshape(3 * n, cin)
-                    .astype(jnp.float32))
+                    .astype(dt))
 
         out.extend([ft(a), ft(c), ft(b)])
     return out
@@ -194,21 +195,28 @@ def _bwd_kernel(top_ref, mid_ref, bot_ref, dtop_ref, dmid_ref, dbot_ref,
     y4 = lrelu(pre4)
 
     # ---- reverse cascade ----
+    # dp/dpre tensors live in the COMPUTE dtype (bf16 in production —
+    # the same rounding as XLA's bf16 conv cotangents; f32 under the
+    # f32 tests): dots are dt x dt with f32 accumulation, and only the
+    # wgrad rolls take a transient f32 copy (no bf16 dynamic_rotate).
+    dt = xf.dtype
     df = jnp.concatenate([dtop_ref[0].reshape(HALO * wp, c),
                           dmid_ref[0].reshape(rb * wp, c),
                           dbot_ref[0].reshape(HALO * wp, c)], axis=0)
     s_acc = 0.2 * 0.2 if has_res else 0.2
     s_id = 0.2 if has_res else 1.0
-    dacc5 = mask(df.astype(jnp.float32) * s_acc, HALO)        # halo 5
+    dacc5 = mask(df * jnp.asarray(s_acc, dt), HALO)           # halo 5
 
     def tconv(dp, conv_idx, off):
-        """Masked transposed conv: dp f32 at halo off+1 -> f32 at off."""
+        """Masked transposed conv: dp dt at halo off+1 -> f32 at off."""
         ap, bp, cp = fl[conv_idx]
         return mask(_rconv_acc(dp, ap, bp, cp, wp), off)
 
     def dlrelu(pre_slice, dy):
-        pre_f = pre_slice.astype(jnp.float32)
-        return jnp.where(pre_f > 0.0, dy, 0.2 * dy)
+        # compare in f32 (Mosaic rejects cmpf on packed bf16); select
+        # emits the compute dtype
+        keep = pre_slice.astype(jnp.float32) > 0.0
+        return jnp.where(keep, dy, 0.2 * dy).astype(dt)
 
     dp4 = sl(dacc5, 5, 5)                                     # [m5, c]
     dy4 = tconv(dp4, 4, 4)
@@ -250,21 +258,22 @@ def _bwd_kernel(top_ref, mid_ref, bot_ref, dtop_ref, dmid_ref, dbot_ref,
         u1 = sl(u, uh, 1)
         lhs = jnp.concatenate(
             [u1[0:m0], u1[wp:wp + m0], u1[2 * wp:2 * wp + m0]], axis=1)
-        dp0 = sl(dps[j], dp_halo[j], 0)                       # f32, masked
-        dpb = dp0.astype(u.dtype)
-        da = jax.lax.dot_general(lhs, dpb, (((0,), (0,)), ((), ())),
+        dp0 = sl(dps[j], dp_halo[j], 0)                       # dt, masked
+        # rolls take a transient f32 copy (no bf16 dynamic_rotate)
+        dp0_f = dp0.astype(jnp.float32)
+        da = jax.lax.dot_general(lhs, dp0, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         db = jax.lax.dot_general(
-            lhs, pltpu.roll(dp0, m0 - 1, 0).astype(u.dtype),
+            lhs, pltpu.roll(dp0_f, m0 - 1, 0).astype(dt),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dc = jax.lax.dot_general(
-            lhs, pltpu.roll(dp0, 1, 0).astype(u.dtype),
+            lhs, pltpu.roll(dp0_f, 1, 0).astype(dt),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dw_refs[widx][...] += da
         dw_refs[widx + 1][...] += db
         dw_refs[widx + 2][...] += dc
         if j == 0:
-            dw_refs[3][...] += jnp.sum(dp0, axis=0, keepdims=True)
+            dw_refs[3][...] += jnp.sum(dp0_f, axis=0, keepdims=True)
             widx += 4
         else:
             widx += 3

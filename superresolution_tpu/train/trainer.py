@@ -46,6 +46,12 @@ from superresolution_tpu.utils.config import Config
 from superresolution_tpu.utils.precision import get_policy
 
 
+# Smallest LR-patch size at which fused_trunk=None (auto) turns the
+# fused Pallas train path on; measured crossover in
+# benchmarks/exp_r15b_fused_train_ab.py (BENCHMARKS.md round-3 training)
+FUSED_TRUNK_AUTO_MIN_PATCH = 96
+
+
 class Trainer:
     def __init__(self, config: Config, workdir: str | None = None,
                  mesh=None):
@@ -147,8 +153,16 @@ class Trainer:
                 supports_fused_train,
             )
 
+            # geometry gate (benchmarks/exp_r15b_fused_train_ab.py, on
+            # chip): the fused train path wins 1.36x at LR 128^2 (the
+            # reference production patch) but LOSES 1.64x at LR 48^2
+            # (esrgan presets) — too few tokens to amortize the fused
+            # backward's recompute + kernel machinery. Auto enables it
+            # only at large-enough trunk resolution; fused_trunk=True
+            # forces it anywhere.
             auto = (config.train.fused_trunk is None
-                    and jax.default_backend() == "tpu")
+                    and jax.default_backend() == "tpu"
+                    and lr_patch >= FUSED_TRUNK_AUTO_MIN_PATCH)
             if ((config.train.fused_trunk or auto)
                     and supports_fused_train(self.model)):
                 if self.mesh.devices.size > 1:
