@@ -406,3 +406,168 @@ def fused_cab_convs(x, weights, interpret=False, rb=None):
         interpret=interpret,
     )(tops, mid, bots, *weights)
     return out.reshape(b, h, wp, c)[:, :, _CAB_PAD:_CAB_PAD + w_img]
+
+
+# ---------------------------------------------------------------------------
+# Pair-packed fused CAB (round 3). The roll-conv fused_cab_convs above
+# only MATCHED XLA (2.91 vs 2.97 ms at [4,256,256,96] — exp_r6_cab):
+# its dots sit in the slow MXU class (conv1 K=288 N=32, conv2 K=96
+# N=96). The 2-column-phase view ([B,H,Wp,C] -> [B,H,Wp/2,2C], a FREE
+# row-major reshape) makes each conv ONE dot in the full-fill class —
+# conv1 [m,1152]@[1152,64], conv2 [m,384]@[384,192] (K = 12*cin: 3 dy x
+# 4 phase variants, 9*cin useful) — the exp_r9 pair formulation, which
+# was a wash for the (already-fast) dense trunk but targets exactly
+# this kernel's deficit. LN runs per phase slice in-kernel; dx taps are
+# two bf16 input-slab token shifts; output columns are phase-blocked
+# [p0 n | p1 n], which IS the packed layout of two adjacent pixels.
+# ---------------------------------------------------------------------------
+
+# column-phase variants in lhs slab order: (input phase, token shift)
+_V2 = ((1, -1), (0, 0), (1, 0), (0, 1))
+
+
+def _pair_conv_weight(k, dtype):
+    """[3,3,cin,n] conv kernel -> pair-packed [12*cin, 2*n] tap matrix.
+
+    Tracer-safe (jnp concats of kernel slices) — callers apply it under
+    lax.scan over blocks, like cab_weights."""
+    k = jnp.asarray(k)
+    cin, n = k.shape[2], k.shape[3]
+    z = jnp.zeros((cin, n), k.dtype)
+    blocks = []
+    for dyi in range(3):
+        for ph, dt in _V2:
+            row = []
+            for q in (0, 1):
+                dx = ph + 2 * dt - q
+                row.append(k[dyi, dx + 1] if dx in (-1, 0, 1) else z)
+            blocks.append(jnp.concatenate(row, axis=1))
+    return jnp.concatenate(blocks, axis=0).astype(dtype)
+
+
+def cab_pair_weights(hp, dtype=jnp.bfloat16):
+    """HABlock params -> pair-kernel weight list
+    [ln_s, ln_b, W1, bias1, W2, bias2] (biases duplicated per phase).
+    Tracer-safe."""
+    cab = hp["ChannelAttentionBlock_0"]
+    out = [jnp.asarray(hp["LayerNorm_0"]["scale"],
+                       jnp.float32).reshape(1, -1),
+           jnp.asarray(hp["LayerNorm_0"]["bias"],
+                       jnp.float32).reshape(1, -1)]
+    for name in ("Conv_0", "Conv_1"):
+        cp = cab[name]["Conv_0"]
+        out.append(_pair_conv_weight(cp["kernel"], dtype))
+        b = jnp.asarray(cp["bias"], jnp.float32)
+        out.append(jnp.concatenate([b, b]).reshape(1, -1))
+    return out
+
+
+def _cab_pair_kernel(top_ref, mid_ref, bot_ref, ln_s, ln_b,
+                     w1, bias1, w2, bias2, out_ref,
+                     *, rb, w_img, wp2, nb, h_img, c):
+    halo = 2
+    row_start = (pl.program_id(0) % nb) * rb
+    pad2 = _CAB_PAD // 2
+    w2_img = w_img // 2
+    c2 = 2 * c
+
+    # the pair view + zero pad happen HOST-side (a free row-major
+    # relabel of the padded array): Mosaic rejects the lane-halving
+    # [rows, w, c] -> [rows, w/2, 2c] reshape as an in-kernel vector
+    # shape cast ('infer-vector-layout: unsupported shape cast')
+    xf = jnp.concatenate([top_ref[0].reshape(halo * wp2, c2),
+                          mid_ref[0].reshape(rb * wp2, c2),
+                          bot_ref[0].reshape(halo * wp2, c2)], axis=0)
+
+    def mask(t, k):
+        m = t.shape[0]
+        rows, n = m // wp2, t.shape[1]
+        t2 = t.reshape(rows, wp2, n)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, wp2, 1), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+        r_img = row + (row_start - halo + k)
+        ok = ((col >= pad2) & (col < pad2 + w2_img)
+              & (r_img >= 0) & (r_img < h_img))
+        t2 = jnp.where(ok, t2, jnp.asarray(0, t2.dtype))
+        return t2.reshape(m, n)
+
+    def rconv2(u, w, bias, k):
+        # lhs slabs per dy: [sm | u | sp] (exp_r9 formulation); wp2 is a
+        # multiple of 16 so dy row-offset slices stay sublane-aligned
+        cin = u.shape[1] // 2
+        mu = u.shape[0]
+        mo = mu - 2 * wp2
+        p0 = u[:, :cin]
+        p1 = u[:, cin:]
+        sm = jnp.concatenate([p1[mu - 1:], p1[:mu - 1]], axis=0)
+        sp = jnp.concatenate([p0[1:], p0[:1]], axis=0)
+        slabs = []
+        for dyo in (0, 1, 2):
+            base = dyo * wp2
+            slabs += [sm[base:base + mo], u[base:base + mo],
+                      sp[base:base + mo]]
+        lhs = jnp.concatenate(slabs, axis=1)
+        acc = jnp.dot(lhs, w[:], preferred_element_type=jnp.float32)
+        acc = acc + bias[:]
+        return mask(acc, k)
+
+    # LN per phase slice (lane slices at multiples of 32 are fine;
+    # it's 3C-row broadcasts and mismatched-sublane concats that
+    # Mosaic rejects)
+    xf32 = xf.astype(jnp.float32)
+    ln = jnp.concatenate(
+        [_ln(xf32[:, :c], ln_s[:], ln_b[:]),
+         _ln(xf32[:, c:], ln_s[:], ln_b[:])], axis=1)
+    ln = mask(ln, 0).astype(xf.dtype)
+    h1 = rconv2(ln, w1, bias1, 1)
+    h1 = gelu_exact(h1).astype(xf.dtype)
+    h2 = rconv2(h1, w2, bias2, 2).astype(xf.dtype)
+    out_ref[0] = h2.reshape(rb, wp2, c2)
+
+
+def fused_cab_convs_pair(x, weights, interpret=False, rb=None):
+    """LN + the CAB conv stack on x [B, H, W, C] via the pair-packed
+    kernel; returns the pre-SE tensor [B, H, W, C]. Requires even W."""
+    b, h, w_img, c = x.shape
+    if w_img % 2:
+        raise ValueError("pair-packed CAB needs even width")
+    # packed width: pad2 cols each side, multiple of 16 (so wp2*2c rows
+    # stay tile-aligned and dy slices at wp2 offsets align)
+    w2_img = w_img // 2
+    pad2 = _CAB_PAD // 2
+    wp2 = -(-(w2_img + 2 * pad2) // 16) * 16
+    from superresolution_tpu.ops.pallas_windows import (
+        const_spec, edge_windows, largest_row_block, window_specs)
+
+    halo = 2
+    if rb is None:
+        # live stages at 2C lanes: xf/ln/h2 [m,192]b16+f32, lhs1
+        # [m,1152] bf16 dominates; 12000 packed tokens measured-safe
+        # headroom class (cf. fused_cab_convs' 9000 at wp lanes)
+        rb = largest_row_block(h, max(1, 12000 // wp2 - 2 * halo))
+    nb = h // rb
+    # pad + pair view host-side (free row-major relabel; Mosaic rejects
+    # the lane-halving reshape in-kernel)
+    xp = jnp.pad(x, ((0, 0), (0, 0),
+                     (_CAB_PAD, 2 * wp2 - w_img - _CAB_PAD), (0, 0)))
+    x2 = xp.reshape(b, h, wp2, 2 * c)
+    tops, mid, bots = edge_windows(x2, rb, nb, halo=halo)
+    spec_edge, spec_mid, _ = window_specs(rb, wp2, 2 * c, halo=halo)
+
+    out = pl.pallas_call(
+        partial(_cab_pair_kernel, rb=rb, w_img=w_img, wp2=wp2, nb=nb,
+                h_img=h, c=c),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        grid=(b * nb,),
+        in_specs=[spec_edge, spec_mid, spec_edge]
+        + [const_spec(t) for t in weights],
+        out_specs=pl.BlockSpec((1, rb, wp2, 2 * c),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp2, 2 * c),
+                                       x.dtype),
+        interpret=interpret,
+    )(tops, mid, bots, *weights)
+    out = out.reshape(b, h, wp2 * 2, c)
+    return out[:, :, _CAB_PAD:_CAB_PAD + w_img]

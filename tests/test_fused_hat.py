@@ -129,3 +129,37 @@ def test_fused_hat_ws16_flash_ocab_matches_apply():
     got = make_fused_hat(variables, model)(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("h,w,c", [(8, 10, 12), (6, 16, 6), (12, 8, 12)])
+def test_fused_cab_convs_pair_matches_reference(h, w, c):
+    """The pair-packed CAB kernel (2-column-phase dots) must match the
+    jnp conv path (pre squeeze-excite) including zero-pad borders."""
+    from superresolution_tpu.infer.fused_hat import _conv, _ln
+    from superresolution_tpu.models.hat_lite import ChannelAttentionBlock
+    from superresolution_tpu.ops.pallas_hab import (
+        cab_pair_weights,
+        fused_cab_convs_pair,
+    )
+
+    ks = jax.random.split(jax.random.key(11), 4)
+    x = jax.random.normal(ks[0], (2, h, w, c), jnp.float32)
+    block = ChannelAttentionBlock(c)
+    variables = block.init(ks[1], x)
+    cp = variables["params"]
+    hp = {
+        "LayerNorm_0": {
+            "scale": jax.random.normal(ks[2], (c,)) * 0.1 + 1.0,
+            "bias": jax.random.normal(ks[3], (c,)) * 0.1,
+        },
+        "ChannelAttentionBlock_0": cp,
+    }
+    y = _ln(x, hp["LayerNorm_0"])
+    y = _conv(y, cp["Conv_0"]["Conv_0"])
+    y = jax.nn.gelu(y, approximate=False)
+    ref = _conv(y, cp["Conv_1"]["Conv_0"])
+    got = fused_cab_convs_pair(x, cab_pair_weights(hp, jnp.float32),
+                               interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
