@@ -132,7 +132,8 @@ def bench_preset(preset: str, batch: int | None = None,
 
 def main() -> None:
     preset = sys.argv[1] if len(sys.argv) > 1 else "edsr_baseline_x4"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    barg = sys.argv[2] if len(sys.argv) > 2 else ""
+    batch = int(barg) if barg.isdigit() else None  # '-' = preset default
     fused = sys.argv[3] if len(sys.argv) > 3 else "auto"
     r = bench_preset(preset, batch, fused)
     hbm = ("n/a" if r["peak_hbm_gb"] is None

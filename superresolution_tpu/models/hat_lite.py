@@ -370,11 +370,17 @@ class ResidualGroup(nn.Module):
         # (350.7 vs 343.2 ms/batch). flash_oca opts in where the OCA
         # logits tensor is larger (HATLite auto-enables it at ws>=16 —
         # the 'H200' windows; benchmarks/exp_r11_ocab16.py).
-        y = OverlappingCrossAttention(self.dim, self.num_heads,
-                                      self.window_size, self.overlap_ratio,
-                                      use_rpb=self.oca_rpb,
-                                      attn_f32=self.attn_f32,
-                                      flash=self.flash_oca)(y)
+        # the group-end OCAB must sit INSIDE the remat boundary too: its
+        # saved einsum logits/softmax ([64,144] per window x 1024
+        # windows x heads x batch, f32) are multi-GB at 256^2 — the
+        # r3 hybrid-train OOM (22.6 G vs 15.75 G HBM) traced here
+        oca_cls = (nn.remat(OverlappingCrossAttention, prevent_cse=False)
+                   if self.remat else OverlappingCrossAttention)
+        y = oca_cls(self.dim, self.num_heads,
+                    self.window_size, self.overlap_ratio,
+                    use_rpb=self.oca_rpb,
+                    attn_f32=self.attn_f32,
+                    flash=self.flash_oca)(y)
         return x + Conv(self.dim)(y)
 
 
