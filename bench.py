@@ -73,9 +73,13 @@ def main() -> None:
     # SRTPU_CHAIN_RRDB=1: whole-RRDB chained kernel (halo 15, one
     # pallas_call per RRDB) — the r3 A/B lever for the 2-of-3 HBM
     # boundary saving vs the deeper halo cascade
+    # SRTPU_FOLD_ENDS=1: A/B lever for the r3 end folds (conv_first
+    # prologue + trunk_conv epilogue kernels) — measured a wash
+    # (1.5779 vs 1.5773 MP/s), default off (BENCHMARKS.md r3)
     fused_trunk = make_fused_trunk(
         params, model,
-        chain_rrdb=bool(os.environ.get("SRTPU_CHAIN_RRDB")))
+        chain_rrdb=bool(os.environ.get("SRTPU_CHAIN_RRDB")),
+        fold_ends=bool(os.environ.get("SRTPU_FOLD_ENDS")))
 
     def trunk_fn(x):
         return fused_trunk(x.astype(policy.compute_dtype))

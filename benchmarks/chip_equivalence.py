@@ -86,8 +86,13 @@ def _run_checks():
     xt = jax.random.uniform(jax.random.key(7), (2, 48, 64, 3),
                             jnp.bfloat16)
     ref = jax.jit(lambda v: tm.apply(tv, v, method="trunk"))(xt)
+    # production path: unfolded scan + the folded RRDB residual
     got = jax.jit(make_fused_trunk(tv, tm))(xt)
     check("fused_trunk_residual_fold", got, ref, 0.02)
+    # end folds (conv_first prologue + trunk_conv epilogue kernels,
+    # r3): measured-closed wash, kept chip-verified behind the lever
+    got_f = jax.jit(make_fused_trunk(tv, tm, fold_ends=True))(xt)
+    check("fused_trunk_end_folds", got_f, ref, 0.02)
 
     # 2. phase-space tail vs the RRDBNet tail apply
     from superresolution_tpu.infer.phase_tail import make_phase_tail

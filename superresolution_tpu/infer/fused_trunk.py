@@ -33,7 +33,10 @@ from superresolution_tpu.infer.common import (
     param_conv as _conv,
 )
 from superresolution_tpu.ops.pallas_dense_trunk import (
+    conv3_rollconv_weights,
     fused_dense_block,
+    fused_dense_block_epilogue,
+    fused_dense_block_prologue,
     pack,
     pick_rb,
     pack_width,
@@ -63,13 +66,24 @@ def _stacked_weights(body, num_blocks, dtype):
 
 
 def make_fused_trunk(variables, model, rb=None, interpret=None,
-                     chain_rrdb=False):
+                     chain_rrdb=False, fold_ends=False):
     """-> trunk_fn(x [B,H,W,Cin]) equivalent to
     model.apply(variables, x, method='trunk').
 
     chain_rrdb: run each RRDB's 3 dense blocks + residual as ONE Pallas
     program (ops/pallas_dense_trunk.fused_rrdb, halo 15) — kills 2 of 3
-    per-RRDB packed-tensor HBM boundaries at a deeper halo cascade."""
+    per-RRDB packed-tensor HBM boundaries at a deeper halo cascade.
+
+    fold_ends: fold conv_first into the first dense block's prologue
+    and trunk_conv + the global trunk residual into the last block's
+    epilogue (ops/pallas_dense_trunk end folds) — removes the pack
+    copy + 4 full-tensor XLA passes at the trunk ends; the first and
+    last RRDB are peeled out of the scan (3 kernel bodies compile
+    instead of 1). MEASURED-CLOSED on chip (BENCHMARKS.md r3): a wash
+    at the bench geometry (1.5779 vs 1.5773 MP/s) — XLA already fuses
+    those end passes to near-zero — so the default stays False to keep
+    the single-kernel-body compile time; the kernels remain
+    chip-verified (CHIPEQ fused_trunk_end_folds) behind this lever."""
     if not model.scan_blocks or not model.fused_dense:
         raise ValueError("fused trunk requires scan_blocks and "
                          "fused_dense (the production layout)")
@@ -78,6 +92,24 @@ def make_fused_trunk(variables, model, rb=None, interpret=None,
     stacked = _stacked_weights(p["body"], model.num_blocks, dtype)
     n_w = len(stacked[0])
     unshuffle = model.pixel_unshuffle_input
+    if chain_rrdb or model.num_blocks < 2:
+        fold_ends = False  # chained A/B lever keeps the r2 layout; the
+        # peeled first/last-RRDB structure needs >= 2 blocks
+    if fold_ends:
+        cin = model.in_channels * unshuffle * unshuffle
+        cin_pad = -(-cin // 8) * 8
+        # end convs keep the params' own dtype — the deploy caller has
+        # already cast params to bf16, and tests feed f32 params so the
+        # fold stays comparable to the XLA _conv path at f32
+        cf_dtype = jnp.asarray(
+            p["conv_first"]["Conv_0"]["kernel"]).dtype
+        head_w = conv3_rollconv_weights(p["conv_first"]["Conv_0"],
+                                        cin_pad=cin_pad, dtype=cf_dtype)
+        trunk_w = conv3_rollconv_weights(p["trunk_conv"]["Conv_0"],
+                                         dtype=cf_dtype)
+
+        def blk(slot, idx):
+            return [a[idx] for a in stacked[slot]]
 
     def trunk_fn(x):
         interp = (jax.default_backend() != "tpu" if interpret is None
@@ -86,10 +118,6 @@ def make_fused_trunk(variables, model, rb=None, interpret=None,
             from superresolution_tpu.ops.pixel_shuffle import space_to_depth
 
             x = space_to_depth(x, unshuffle)
-        x = head = _conv(x, p["conv_first"]["Conv_0"])
-        b, h, w, c = x.shape
-        rbk = pick_rb(h, pack_width(w)) if rb is None else rb
-        xp = pack(x)
 
         def body(carry, ws):
             w0, w1, w2 = (ws[:n_w], ws[n_w:2 * n_w], ws[2 * n_w:])
@@ -110,6 +138,42 @@ def make_fused_trunk(variables, model, rb=None, interpret=None,
                                   interpret=interp, residual=carry)
             return y, None
 
+        if fold_ends:
+            b, h, w, _ = x.shape
+            rbk = pick_rb(h, pack_width(w)) if rb is None else rb
+            xr = x  # caller picks the compute dtype (bench casts bf16)
+            cin = xr.shape[-1]
+            if cin_pad > cin:
+                xr = jnp.pad(xr, ((0, 0), (0, 0), (0, 0),
+                                  (0, cin_pad - cin)))
+            xr = pack(xr)
+            # RRDB 0, peeled: conv_first rides the first block
+            y, head = fused_dense_block_prologue(
+                xr, head_w, blk(0, 0), width=w, rb=rbk, interpret=interp)
+            y = fused_dense_block(y, blk(1, 0), width=w, rb=rbk,
+                                  interpret=interp)
+            carry = fused_dense_block(y, blk(2, 0), width=w, rb=rbk,
+                                      interpret=interp, residual=head)
+            nb = model.num_blocks
+            if nb > 2:
+                xs = tuple(a[1:nb - 1] for a in
+                           stacked[0] + stacked[1] + stacked[2])
+                carry, _ = jax.lax.scan(body, carry, xs)
+            # last RRDB, peeled: trunk_conv + global residual ride the
+            # last block
+            y = fused_dense_block(carry, blk(0, nb - 1), width=w,
+                                  rb=rbk, interpret=interp)
+            y = fused_dense_block(y, blk(1, nb - 1), width=w, rb=rbk,
+                                  interpret=interp)
+            feat = fused_dense_block_epilogue(
+                y, blk(2, nb - 1), carry, trunk_w, head, width=w,
+                rb=rbk, interpret=interp)
+            return unpack(feat, w)
+
+        x = head = _conv(x, p["conv_first"]["Conv_0"])
+        b, h, w, c = x.shape
+        rbk = pick_rb(h, pack_width(w)) if rb is None else rb
+        xp = pack(x)
         xs = tuple(stacked[0] + stacked[1] + stacked[2])
         out, _ = jax.lax.scan(body, xp, xs)
         feat = unpack(out, w)

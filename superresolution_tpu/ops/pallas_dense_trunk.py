@@ -119,6 +119,44 @@ def _lrelu(x):
             * jnp.minimum(x, jnp.asarray(0, x.dtype)))
 
 
+def _roll_conv3(u, a, b, cm, *, wp, width, row0, h_img, bias=None):
+    """One 3x3 SAME roll-conv on a flat token stream.
+
+    u: [(rows+2)*wp, cin] (one halo row each side); a/b/cm: the
+    [3*cin, n] dy-major stacks of the dx=0/-1/+1 taps. Returns the
+    masked [rows*wp, n] output whose first row is image row `row0`
+    (negative while inside a halo cascade). Shared by dense_cascade and
+    the prologue/epilogue fold kernels so the mask/roll math cannot
+    diverge between them.
+    """
+    mu = u.shape[0]
+    mo = mu - 2 * wp
+    lhs = jnp.concatenate(
+        [u[0:mo], u[wp:wp + mo], u[2 * wp:2 * wp + mo]], axis=1)
+    acc = jnp.dot(lhs, a[:], preferred_element_type=jnp.float32)
+    if bias is not None:
+        acc = acc + bias[:]
+    pb = jnp.dot(lhs, b[:], preferred_element_type=jnp.float32)
+    acc = acc + pltpu.roll(pb, 1, 0)
+    pc = jnp.dot(lhs, cm[:], preferred_element_type=jnp.float32)
+    acc = acc + pltpu.roll(pc, mo - 1, 0)
+    out = acc.astype(u.dtype)
+    # mask via the free [rows, wp, n] reshape + per-axis 2D iotas:
+    # the flat-token idx%wp / idx//wp (wp not a power of two) cost
+    # ~6 ms/block on the bench geometry (exp_r7b ablation:
+    # 29.6 -> 23.5 ms with identical output).
+    rows = mo // wp
+    n = out.shape[1]
+    o2 = out.reshape(rows, wp, n)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+    r_img = row + row0
+    ok = ((col >= PAD) & (col < PAD + width)
+          & (r_img >= 0) & (r_img < h_img))
+    o2 = jnp.where(ok, o2, jnp.asarray(0, o2.dtype))
+    return o2.reshape(mo, n)
+
+
 def dense_cascade(xf, weights, *, wp, width, row_start, h_img, g,
                   out_halo=0):
     """The 5-conv dense-block body on a flat token stream.
@@ -133,32 +171,9 @@ def dense_cascade(xf, weights, *, wp, width, row_start, h_img, g,
      a_1, b_1, c_1, a_2, b_2, c_2, a_3, b_3, c_3, a_4, b_4, c_4) = weights
 
     def rconv(u, a, b, cm, mask_k, bias=None):
-        mu = u.shape[0]
-        mo = mu - 2 * wp
-        lhs = jnp.concatenate(
-            [u[0:mo], u[wp:wp + mo], u[2 * wp:2 * wp + mo]], axis=1)
-        acc = jnp.dot(lhs, a[:], preferred_element_type=jnp.float32)
-        if bias is not None:
-            acc = acc + bias[:]
-        pb = jnp.dot(lhs, b[:], preferred_element_type=jnp.float32)
-        acc = acc + pltpu.roll(pb, 1, 0)
-        pc = jnp.dot(lhs, cm[:], preferred_element_type=jnp.float32)
-        acc = acc + pltpu.roll(pc, mo - 1, 0)
-        out = acc.astype(u.dtype)
-        # mask via the free [rows, wp, n] reshape + per-axis 2D iotas:
-        # the flat-token idx%wp / idx//wp (wp not a power of two) cost
-        # ~6 ms/block on the bench geometry (exp_r7b ablation:
-        # 29.6 -> 23.5 ms with identical output).
-        rows = mo // wp
-        n = out.shape[1]
-        o2 = out.reshape(rows, wp, n)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
-        r_img = row + (row_start - out_halo - HALO + mask_k)
-        ok = ((col >= PAD) & (col < PAD + width)
-              & (r_img >= 0) & (r_img < h_img))
-        o2 = jnp.where(ok, o2, jnp.asarray(0, o2.dtype))
-        return o2.reshape(mo, n)
+        return _roll_conv3(u, a, b, cm, wp=wp, width=width,
+                           row0=row_start - out_halo - HALO + mask_k,
+                           h_img=h_img, bias=bias)
 
     # Incremental cascade: each stage's pre-activation accumulator is
     # seeded from the px slice and every p_i's slices are distributed
@@ -283,6 +298,172 @@ def _rrdb_kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref, rb, wp,
     xc = xf[RRDB_HALO * wp:RRDB_HALO * wp + rb * wp]
     out = xc + b3 * jnp.asarray(0.2, xc.dtype)
     out_ref[0] = out.reshape(rb, wp, c)
+
+
+def conv3_rollconv_weights(conv_params, cin_pad=None,
+                           dtype=jnp.bfloat16):
+    """3x3 Conv param subtree {'kernel' [3,3,cin,n], 'bias' [n]} ->
+    [A, B, C, bias] roll-conv stacks (A/B/C = [3*cin, n] dy-major
+    dx=0/-1/+1 taps, the proj_weights convention). `cin_pad` zero-pads
+    the input-channel axis — used by the conv_first prologue so the raw
+    image's few channels land lane-aligned."""
+    w = np.asarray(conv_params["kernel"], np.float32)
+    cin, n = w.shape[2], w.shape[3]
+    if cin_pad is not None and cin_pad > cin:
+        w = np.concatenate(
+            [w, np.zeros((3, 3, cin_pad - cin, n), np.float32)], axis=2)
+        cin = cin_pad
+    out = []
+    for dx in (1, 0, 2):
+        out.append(jnp.asarray(w[:, dx].reshape(3 * cin, n), dtype))
+    out.append(jnp.asarray(
+        np.asarray(conv_params["bias"], np.float32).reshape(1, n),
+        jnp.float32))
+    return out
+
+
+# --------------------------------------------------------------------
+# End folds (VERDICT r2 item 3): conv_first rides the FIRST dense
+# block's prologue and trunk_conv + the global trunk residual ride the
+# LAST dense block's epilogue — the same in-kernel fold family as the
+# r13 RRDB-residual fold (in-block folds win; cross-block chaining
+# loses on the VMEM budget). Each removes full packed-tensor XLA
+# passes at a trunk end: the pack copy + separate conv_first call at
+# the head, and the unpack + trunk_conv + residual-add passes at the
+# tail. Capability parity: RRDBNet conv_first/trunk_conv
+# (models/rrdbnet.py; reference src/architecture.py:38-43).
+
+END_HALO = HALO + 1  # one extra conv chained onto the 5-conv cascade
+
+
+def fused_dense_block_prologue(xp_raw, head_w, weights, *, width,
+                               rb=None, interpret=False):
+    """conv_first + the first dense block as ONE Pallas program.
+
+    xp_raw: [B, H, Wp, Cin] packed raw input (Cin zero-padded to a
+    multiple of 8; `pack` zero cols); head_w: conv3_rollconv_weights of
+    conv_first; weights: proj_weights of dense block 0.
+
+    Returns (block_out, head), both [B, H, Wp, C]: head is the packed
+    conv_first output (the trunk's global-residual anchor, still needed
+    in HBM for the RRDB-0 residual and the final add), block_out is the
+    first dense block's output. Equal to conv_first -> pack ->
+    fused_dense_block up to f.p. reassociation.
+    """
+    b, h, wp, cin = xp_raw.shape
+    g = weights[4].shape[0] // 3
+    c = weights[0].shape[0] // 3  # A_px is [3*c, ...]
+    if rb is None:
+        rb = pick_rb(h, wp)
+    nb = h // rb
+    tops, mid, bots = edge_windows(xp_raw, rb, nb, halo=END_HALO)
+    spec_edge, spec_mid_in, _ = window_specs(rb, wp, cin, halo=END_HALO)
+    _, spec_mid_out, _ = window_specs(rb, wp, c)
+
+    def kernel(top_ref, mid_ref, bot_ref, *refs):
+        *w_refs, out_ref, head_ref = refs
+        hw, bw = w_refs[:4], w_refs[4:]
+        row_start = (pl.program_id(0) % nb) * rb
+        top = top_ref[0].reshape(END_HALO * wp, cin)
+        m = mid_ref[0].reshape(rb * wp, cin)
+        bot = bot_ref[0].reshape(END_HALO * wp, cin)
+        xf_raw = jnp.concatenate([top, m, bot], axis=0)
+        # conv_first: raw at halo 6 -> features at halo 5 (the cascade's
+        # expected input halo); masked like every cascade stage
+        x = _roll_conv3(xf_raw, hw[0], hw[1], hw[2], wp=wp, width=width,
+                        row0=row_start - HALO, h_img=h, bias=hw[3])
+        out = dense_cascade(x, bw, wp=wp, width=width,
+                            row_start=row_start, h_img=h, g=g)
+        head_ref[0] = x[HALO * wp:HALO * wp + rb * wp].reshape(rb, wp, c)
+        out_ref[0] = out.reshape(rb, wp, c)
+
+    out, head = pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        grid=(b * nb,),
+        in_specs=[spec_edge, spec_mid_in, spec_edge]
+        + [const_spec(t) for t in head_w]
+        + [const_spec(t) for t in weights],
+        out_specs=(spec_mid_out, spec_mid_out),
+        out_shape=(jax.ShapeDtypeStruct((b * nb, rb, wp, c),
+                                        xp_raw.dtype),
+                   jax.ShapeDtypeStruct((b * nb, rb, wp, c),
+                                        xp_raw.dtype)),
+        interpret=interpret,
+    )(tops, mid, bots, *head_w, *weights)
+    return out.reshape(b, h, wp, c), head.reshape(b, h, wp, c)
+
+
+def fused_dense_block_epilogue(xp, weights, residual, trunk_w, head, *,
+                               width, rb=None, interpret=False):
+    """Last dense block + RRDB residual + trunk_conv + global residual
+    as ONE Pallas program.
+
+    xp: [B, H, Wp, C] (the last RRDB's second dense-block output);
+    weights: proj_weights of its third dense block; residual: the last
+    RRDB's input (its residual anchor); trunk_w:
+    conv3_rollconv_weights of trunk_conv; head: packed conv_first
+    output. Returns packed trunk features [B, H, Wp, C]:
+
+        trunk_conv(residual + block(xp) * 0.2) + head
+
+    — equal to fused_dense_block(..., residual=...) -> unpack ->
+    XLA trunk_conv -> + head up to f.p. reassociation.
+    """
+    b, h, wp, c = xp.shape
+    g = weights[4].shape[0] // 3
+    if rb is None:
+        rb = pick_rb(h, wp)
+    nb = h // rb
+    tops, mid, bots = edge_windows(xp, rb, nb, halo=END_HALO)
+    rtops, rmid, rbots = edge_windows(residual, rb, nb, halo=1)
+    spec_edge, spec_mid, _ = window_specs(rb, wp, c, halo=END_HALO)
+    spec_redge, _, _ = window_specs(rb, wp, c, halo=1)
+    head_b = head.reshape(b * nb, rb, wp, c)
+
+    def kernel(top_ref, mid_ref, bot_ref, *refs):
+        (*w_refs, rtop_ref, rmid_ref, rbot_ref, head_ref,
+         out_ref) = refs
+        bw, tw = w_refs[:16], w_refs[16:]
+        row_start = (pl.program_id(0) % nb) * rb
+        top = top_ref[0].reshape(END_HALO * wp, c)
+        m = mid_ref[0].reshape(rb * wp, c)
+        bot = bot_ref[0].reshape(END_HALO * wp, c)
+        xf = jnp.concatenate([top, m, bot], axis=0)
+        # block output at halo 1 (trunk_conv consumes one halo row)
+        out = dense_cascade(xf, bw, wp=wp, width=width,
+                            row_start=row_start, h_img=h, g=g,
+                            out_halo=1)
+        res = jnp.concatenate(
+            [rtop_ref[0].reshape(wp, c), rmid_ref[0].reshape(rb * wp, c),
+             rbot_ref[0].reshape(wp, c)], axis=0)
+        feat = res + out * jnp.asarray(0.2, out.dtype)
+        tout = _roll_conv3(feat, tw[0], tw[1], tw[2], wp=wp, width=width,
+                           row0=row_start, h_img=h, bias=tw[3])
+        out_ref[0] = (tout + head_ref[0].reshape(rb * wp, c)
+                      ).reshape(rb, wp, c)
+
+    out = pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        grid=(b * nb,),
+        in_specs=[spec_edge, spec_mid, spec_edge]
+        + [const_spec(t) for t in weights]
+        + [const_spec(t) for t in trunk_w]
+        + [spec_redge, pl.BlockSpec((1, rb, wp, c),
+                                    lambda i: (i, 0, 0, 0),
+                                    memory_space=pltpu.VMEM),
+           spec_redge,
+           pl.BlockSpec((1, rb, wp, c), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, rb, wp, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * nb, rb, wp, c), xp.dtype),
+        interpret=interpret,
+    )(tops, mid, bots, *weights, *trunk_w, rtops, rmid, rbots, head_b)
+    return out.reshape(b, h, wp, c)
 
 
 def fused_rrdb(xp, w0, w1, w2, *, width, rb=None, interpret=False):

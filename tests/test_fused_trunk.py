@@ -151,3 +151,52 @@ def test_fused_dense_block_residual_fold_matches_two_step(rng):
                                residual=carry)
     np.testing.assert_allclose(np.asarray(folded), np.asarray(two_step),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fold_ends_matches_unfolded_trunk():
+    """fold_ends=True (conv_first prologue + trunk_conv epilogue in the
+    end kernels) equals the unfolded fused trunk AND the plain apply."""
+    model = _small_net(num_blocks=3)
+    x = jax.random.normal(jax.random.key(20), (2, 24, 20, 3),
+                          jnp.float32)
+    variables = model.init(jax.random.key(21), x)
+    ref = model.apply(variables, x, method="trunk")
+    plain = make_fused_trunk(variables, model, interpret=True,
+                             fold_ends=False)(x)
+    folded = make_fused_trunk(variables, model, interpret=True,
+                              fold_ends=True)(x)
+    assert folded.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+    # folded vs unfolded differ only by f.p. reassociation of the two
+    # end convs — much tighter than the bf16-vs-f32 apply tolerance
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_fold_ends_two_blocks_no_scan():
+    """num_blocks=2: both RRDBs are peeled, the scan is skipped."""
+    model = _small_net(num_blocks=2)
+    x = jax.random.normal(jax.random.key(22), (1, 16, 20, 3),
+                          jnp.float32)
+    variables = model.init(jax.random.key(23), x)
+    ref = model.apply(variables, x, method="trunk")
+    folded = make_fused_trunk(variables, model, interpret=True,
+                              fold_ends=True)(x)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+
+
+def test_fold_ends_pixel_unshuffle():
+    """The prologue's channel padding composes with space_to_depth
+    (BasicSR scale-2 convention: cin = in_channels * 4)."""
+    model = _small_net(scale=2, pixel_unshuffle_input=2, in_channels=1,
+                       out_channels=1, num_blocks=2)
+    x = jax.random.normal(jax.random.key(24), (1, 16, 16, 1),
+                          jnp.float32)
+    variables = model.init(jax.random.key(25), x)
+    ref = model.apply(variables, x, method="trunk")
+    folded = make_fused_trunk(variables, model, interpret=True,
+                              fold_ends=True)(x)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
