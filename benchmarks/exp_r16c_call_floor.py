@@ -155,6 +155,12 @@ def sweep(tag, shape, halo, rbs):
 def main():
     sweep("cab", (4, 256, 144, 192), 2, (16, 32, 64, 128, 256))
     sweep("trunk", (24, 376, 272, 64), 5, (47, 94, 188))
+    # SAME bytes as the trunk class, 128-lane channels (the pair view):
+    # if this runs ~2x faster, the production kernel's 64-lane IO
+    # layout wastes half of every VMEM tile in the DMA
+    sweep("trunk128", (24, 376, 136, 128), 5, (47, 94, 188))
+    # and the wider-image control (2x bytes, 128 lanes)
+    sweep("wide128", (24, 376, 272, 128), 5, (94,))
 
 
 if __name__ == "__main__":
