@@ -55,15 +55,34 @@ def _ln(x, lp):
             + jnp.asarray(lp["bias"], jnp.float32)).astype(x.dtype)
 
 
+def _se_scale(y, cp):
+    """Squeeze-excite tail shared by both CAB paths."""
+    s = jnp.mean(y, axis=(1, 2), keepdims=True)
+    s = jax.nn.relu(_dense(s, cp["Dense_0"]))
+    s = jax.nn.sigmoid(_dense(s, cp["Dense_1"]))
+    return y * s
+
+
 def _cab(x, cp):
     """ChannelAttentionBlock math (models/hat_lite.py)."""
     y = _conv(x, cp["Conv_0"]["Conv_0"])
     y = jax.nn.gelu(y, approximate=False)
     y = _conv(y, cp["Conv_1"]["Conv_0"])
-    s = jnp.mean(y, axis=(1, 2), keepdims=True)
-    s = jax.nn.relu(_dense(s, cp["Dense_0"]))
-    s = jax.nn.sigmoid(_dense(s, cp["Dense_1"]))
-    return y * s
+    return _se_scale(y, cp)
+
+
+def _cab_fused(x, hp, interpret):
+    """LN + the CAB conv stack as ONE Pallas program
+    (ops/pallas_hab.fused_cab_convs) + the XLA squeeze-excite tail.
+    Measured 1.377 vs 1.545 ms for the XLA stack at [4,256,256,96]
+    (benchmarks/exp_r18_cab_remeasure.py — the earlier 'wash' verdicts
+    used the untrusted timing). cab_weights is tracer-safe, so this
+    composes with the hab_pairs lax.scan."""
+    from superresolution_tpu.ops.pallas_hab import (
+        cab_weights, fused_cab_convs)
+
+    y = fused_cab_convs(x, cab_weights(hp, x.dtype), interpret=interpret)
+    return _se_scale(y.astype(x.dtype), hp["ChannelAttentionBlock_0"])
 
 
 def _wa_weights(hp, nh, ws, dtype):
@@ -101,9 +120,14 @@ def _wa_weights(hp, nh, ws, dtype):
 
 
 def _hab(x, hp, *, shift, ws, nh, conv_scale, interpret):
+    import os
+
     b, h, w, c = x.shape
-    y_ln = _ln(x, hp["LayerNorm_0"])
-    cab = _cab(y_ln, hp["ChannelAttentionBlock_0"])
+    if os.environ.get("SRTPU_XLA_CAB"):  # A/B lever (exp_r19)
+        cab = _cab(_ln(x, hp["LayerNorm_0"]),
+                   hp["ChannelAttentionBlock_0"])
+    else:
+        cab = _cab_fused(x, hp, interpret)
     cab = cab * jnp.asarray(conv_scale, x.dtype)
     if shift:
         xs = jnp.roll(x, (-shift, -shift), axis=(1, 2))
