@@ -147,10 +147,10 @@ def _hab(x, hp, *, shift, ws, nh, conv_scale, interpret):
 
 
 def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb):
-    """OverlappingCrossAttention on raw params: einsum at ws=8 (the
-    cross-attn kernel measured slower there — models/hat_lite.py), the
-    flash kernel at ws>=16 where the OCA logits tensor is 4x larger and
-    flash wins (+4.1% on the H200 config, benchmarks/exp_r11_ocab16.py)."""
+    """OverlappingCrossAttention on raw params via the flash
+    cross-attention kernel at every window size (trusted re-measure:
+    +11% e2e at ws=8, +4.1% at ws=16 — BENCHMARKS.md r3);
+    SRTPU_EINSUM_OCA=1 restores the einsum reference path."""
     b, h, w, c = x.shape
     ows = int(ws * (1 + overlap_ratio))
     pad = (ows - ws) // 2
@@ -176,7 +176,14 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb):
         idx = jnp.asarray(_relative_position_index_oca(ws, ows))
         bias = table[idx.reshape(-1)].reshape(
             ws * ws, ows * ows, nh).transpose(2, 0, 1)
-    if ws >= 16:
+    import os
+
+    if not os.environ.get("SRTPU_EINSUM_OCA"):
+        # flash OCAB at EVERY window size: the old 'flash loses at
+        # ws=8' verdict (350.7 vs 343.2, exp_r3_hybrid_flash) was a
+        # pre-house-rule timing artifact — trusted e2e re-measure
+        # (exp_r19 + SRTPU_FLASH_OCA8): 252.8 vs 280.5 ms/batch.
+        # SRTPU_EINSUM_OCA=1 restores the einsum path for A/Bs.
         from superresolution_tpu.ops.pallas_attn import (
             flash_window_attention)
 

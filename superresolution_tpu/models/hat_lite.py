@@ -363,13 +363,6 @@ class ResidualGroup(nn.Module):
             y = HABlock(self.dim, self.num_heads, self.window_size, shift,
                         self.mlp_ratio, self.conv_scale, self.attn_f32,
                         self.flash_attn)(y)
-        # OCAB stays on the einsum path at ws=8 even when flash_attn is
-        # set: measured on the hybrid workload (benchmarks/
-        # exp_r3_hybrid_flash), the cross-attn kernel's m=144 N-padding +
-        # masked-K FLOP overhead exceeds its logits-traffic savings
-        # (350.7 vs 343.2 ms/batch). flash_oca opts in where the OCA
-        # logits tensor is larger (HATLite auto-enables it at ws>=16 —
-        # the 'H200' windows; benchmarks/exp_r11_ocab16.py).
         # the group-end OCAB must sit INSIDE the remat boundary too: its
         # saved einsum logits/softmax ([64,144] per window x 1024
         # windows x heads x batch, f32) are multi-GB at 256^2 — the
@@ -437,16 +430,18 @@ class HATLite(nn.Module):
     # VMEM. The fastest inference path on TPU; gradients fall back to the
     # jnp reference via custom_vjp.
     flash_attn: bool = False
-    # Flash kernel for the group-end OCAB: None = auto (on when
-    # flash_attn and window_size >= 16 — at ws=8 the kernel's N-padding
-    # beats its logits savings and it stays off; BENCHMARKS.md).
+    # Flash kernel for the group-end OCAB: None = auto (on whenever
+    # flash_attn — the old 'flash loses at ws=8' verdict came from the
+    # untrusted pre-house-rule timing; trusted re-measure exp_r19 shows
+    # flash OCAB wins 252.8 vs 280.5 ms/batch at ws=8 too;
+    # BENCHMARKS.md r3).
     flash_oca: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         ws = self.window_size
-        foca = (self.flash_attn and ws >= 16
+        foca = (self.flash_attn
                 if self.flash_oca is None else self.flash_oca)
         ph = (ws - h % ws) % ws
         pw = (ws - w % ws) % ws
