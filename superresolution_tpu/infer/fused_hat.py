@@ -160,14 +160,9 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb):
     kv = _dense(y, op["Dense_0"])
     kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     nh_w, nw_w = h // ws, w // ws
-    patches = []
-    for di in range(ows):
-        rows = kv[:, di::ws][:, :nh_w]
-        for dj in range(ows):
-            cols = rows[:, :, dj::ws][:, :, :nw_w]
-            patches.append(cols)
-    kvw = jnp.stack(patches, axis=3).reshape(b * nh_w * nw_w, ows * ows,
-                                             2 * c)
+    from superresolution_tpu.ops.unfold import extract_overlapping_windows
+
+    kvw = extract_overlapping_windows(kv, ws, ows, nh_w, nw_w)
     k, v = jnp.split(kvw, 2, axis=-1)
     qd = _dense(q, op["Dense_1"])
     bias = None

@@ -242,17 +242,13 @@ class OverlappingCrossAttention(nn.Module):
         q = window_partition(y, ws)  # [nB, ws*ws, C]
         kv = nn.Dense(2 * c, dtype=x.dtype, param_dtype=jnp.float32)(y)
         kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        # unfold overlapping windows: for each (i,j) offset of the enlarged
-        # window, gather the strided grid — static loop of owsxows slices.
+        # unfold overlapping windows: cell-decomposed gather (9 slices +
+        # one transpose instead of ows*ows slice+stacks — ops/unfold.py)
+        from superresolution_tpu.ops.unfold import (
+            extract_overlapping_windows)
+
         nh_w, nw_w = h // ws, w // ws
-        patches = []
-        for di in range(ows):
-            rows = kv[:, di::ws][:, :nh_w]
-            for dj in range(ows):
-                cols = rows[:, :, dj::ws][:, :, :nw_w]
-                patches.append(cols)  # [B, nh_w, nw_w, 2C]
-        kvw = jnp.stack(patches, axis=3)  # [B, nh_w, nw_w, ows*ows, 2C]
-        kvw = kvw.reshape(b * nh_w * nw_w, ows * ows, 2 * c)
+        kvw = extract_overlapping_windows(kv, ws, ows, nh_w, nw_w)
         k, v = jnp.split(kvw, 2, axis=-1)
         nh = self.num_heads
         hd = c // nh
