@@ -18,14 +18,15 @@ C=96, ws=8, depths (6,)*4):
   cab            the fused CAB branch alone (exp_r18: 1.377 ms)
   habk           fused_hab_block alone on [4096,64,96] windows
   ocab           the OverlappingCrossAttention block alone
-  ocab_kv        OCAB's kv patch extraction alone (144 strided slices)
+  ocab_kv        OCAB's kv patch extraction, superseded 144-slice form
+  ocab_kv_cell   same gather, deployed cell-decomposed form (ops/unfold)
   tail           Conv_1 + upsample + Conv_2, 96ch 256^2 -> 1ch 512^2
 
 Usage (on the TPU chip):
     python benchmarks/exp_r23_hybrid_split.py [piece ...]
 with pieces from: e2e stage1 smooth stage2 conv_first group hab_pair
-cab habk ocab ocab_kv tail (default: all — slow; each piece compiles
-two chained jits).
+cab habk ocab ocab_kv ocab_kv_cell tail (default: all — slow; each
+piece compiles two chained jits).
 """
 
 from __future__ import annotations
@@ -204,24 +205,29 @@ def main():
                             overlap_ratio=model.stage2.overlap_ratio,
                             use_rpb=False), feat) * 1e3, 2))
 
-    def ocab_kv_fn(y):
-        b, h, w, c = y.shape
-        ows = int(ws * 1.5)
-        pad = (ows - ws) // 2
-        kv = _dense(_ln(y, op["LayerNorm_0"]), op["Dense_0"])
-        kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        nh_w, nw_w = h // ws, w // ws
-        patches = []
-        for di in range(ows):
-            rows = kv[:, di::ws][:, :nh_w]
-            for dj in range(ows):
-                cols = rows[:, :, dj::ws][:, :, :nw_w]
-                patches.append(cols)
-        return jnp.stack(patches, axis=3).reshape(
-            b * nh_w * nw_w, ows * ows, 2 * c)
+    from superresolution_tpu.ops.unfold import (
+        _extract_loop, extract_overlapping_windows)
 
+    def make_ocab_kv_fn(gather):
+        def ocab_kv_fn(y):
+            b, h, w, c = y.shape
+            ows = int(ws * 1.5)
+            pad = (ows - ws) // 2
+            kv = _dense(_ln(y, op["LayerNorm_0"]), op["Dense_0"])
+            kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            return gather(kv, ws, ows, h // ws, w // ws)
+
+        return ocab_kv_fn
+
+    # ocab_kv: the superseded 144-strided-slice gather (the reference
+    # construction, kept in ops/unfold.py as the odd-geometry fallback);
+    # ocab_kv_cell: the deployed cell-decomposed gather.
     if on("ocab_kv"):
-        record("ocab_kv_ms", round(timeit(ocab_kv_fn, feat) * 1e3, 2))
+        record("ocab_kv_ms", round(timeit(
+            make_ocab_kv_fn(_extract_loop), feat) * 1e3, 2))
+    if on("ocab_kv_cell"):
+        record("ocab_kv_cell_ms", round(timeit(
+            make_ocab_kv_fn(extract_overlapping_windows), feat) * 1e3, 2))
 
     def tail_fn(y):
         y = _conv(y, sp["Conv_1"]["Conv_0"])

@@ -37,6 +37,7 @@ from superresolution_tpu.models.hat_lite import (
 )
 from superresolution_tpu.ops.pallas_hab import fused_hab_block
 from superresolution_tpu.ops.pixel_shuffle import depth_to_space
+from superresolution_tpu.ops.unfold import extract_overlapping_windows
 
 _EPS = 1e-5
 
@@ -160,8 +161,8 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb):
     kv = _dense(y, op["Dense_0"])
     kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     nh_w, nw_w = h // ws, w // ws
-    from superresolution_tpu.ops.unfold import extract_overlapping_windows
-
+    # cell-decomposed gather; falls back to the ows*ows slice loop when
+    # padded dims aren't divisible by gcd(ws, ows) (ops/unfold.py)
     kvw = extract_overlapping_windows(kv, ws, ows, nh_w, nw_w)
     k, v = jnp.split(kvw, 2, axis=-1)
     qd = _dense(q, op["Dense_1"])

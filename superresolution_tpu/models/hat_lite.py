@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from superresolution_tpu.models.common import Conv, PixelShuffleUpsampler
+from superresolution_tpu.ops.unfold import extract_overlapping_windows
 
 
 def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
@@ -243,10 +244,9 @@ class OverlappingCrossAttention(nn.Module):
         kv = nn.Dense(2 * c, dtype=x.dtype, param_dtype=jnp.float32)(y)
         kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
         # unfold overlapping windows: cell-decomposed gather (9 slices +
-        # one transpose instead of ows*ows slice+stacks — ops/unfold.py)
-        from superresolution_tpu.ops.unfold import (
-            extract_overlapping_windows)
-
+        # one transpose instead of ows*ows slice+stacks — ops/unfold.py;
+        # falls back to the slice loop when padded dims aren't divisible
+        # by gcd(ws, ows), so odd geometries lose the fast path silently)
         nh_w, nw_w = h // ws, w // ws
         kvw = extract_overlapping_windows(kv, ws, ows, nh_w, nw_w)
         k, v = jnp.split(kvw, 2, axis=-1)
