@@ -1,21 +1,62 @@
-"""Benchmark: megapixels/sec/chip at x4 upscale (ESRGAN RRDB generator,
-tiled inference on a 2K-resolution image — BASELINE config 4).
+"""Benchmark: megapixels/sec/chip at x4 upscale.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "MP/s/chip", "vs_baseline": N/REF}
+Prints MULTIPLE JSON lines (each flushed immediately), in this order:
 
-Megapixels are INPUT megapixels (LR pixels consumed per second at x4; the
-output rate is 16x this in pixels).
+  1. headline   — ESRGAN RRDB x4 tiled 2K inference (BASELINE config 4)
+  2. hybrid     — the reference's actual flagship two-stage model
+                  (RRDBNet 23 + HAT, reference src/architecture.py:30-82),
+                  fused deploy path, batch 4, 128^2 -> 512^2
+  3. training   — hybrid_astro REAL train step, samples/s (the H200
+                  parity anchor, BENCHMARKS.md round-3 table)
+  4. headline again, annotated with chipeq/DMA-probe fields.
 
-Baseline derivation (the reference publishes no throughput numbers —
-BASELINE.md): the reference's fallback production GPU is an RTX 4090
-(reference readme.md:91-95,415-421) running torch-eager AMP. The ESRGAN
-RRDB x4 generator costs ~17.9 M MACs PER LR PIXEL, i.e. x2 =
-35.8 TFLOPs per input megapixel. Torch eager conv
-stacks on a 4090 (165 TFLOPs bf16 dense) sustain roughly 30% MFU on this
-kind of small-channel conv workload => ~50 TFLOP/s => ~1.4 input-MP/s.
-REF_GPU_MPS_X4 = 1.4 is therefore the reference-on-GPU estimate this
-harness compares against (north star: >= 4x => >= 5.6 MP/s/chip).
+ORDER IS LOAD-BEARING: BENCH_r03 (rc 124) proved the driver kills slow
+runs and parses the LAST JSON line it sees. The headline prints before
+any optional stage, every optional stage prints a metric-shaped line or
+nothing, and the final line re-prints the headline — so under ANY kill
+point the last complete JSON line on stdout is a real throughput metric.
+Optional stages (incl. the chip-equivalence suite, now stdout-quiet) run
+under SRTPU_BENCH_BUDGET_S (default 420 s) and are skipped, not raced,
+when the budget runs out.
+
+Megapixels are INPUT megapixels (LR pixels consumed per second; at x4
+the output rate is 16x this in pixels).
+
+Baseline derivations (the reference publishes no throughput numbers —
+BASELINE.md):
+
+* ESRGAN x4 (REF_GPU_MPS_X4 = 1.4): the reference's fallback production
+  GPU is an RTX 4090 (reference readme.md:91-95,415-421) running
+  torch-eager AMP. The ESRGAN RRDB x4 generator costs ~17.9 M MACs per
+  LR pixel = 35.8 TFLOPs per input MP. Torch-eager conv stacks on a
+  4090 (165 TFLOPs bf16 dense) sustain roughly 30% MFU on this kind of
+  small-channel conv workload => ~50 TFLOP/s => ~1.4 input-MP/s.
+  North star: >= 4x => >= 5.6 MP/s/chip.
+
+* Hybrid (REF_GPU_MPS_HYBRID = 0.47), derived the same way: stage 1
+  (RRDBNet x2, 23 blocks at 128^2) costs ~16.9 M MACs/LR px
+  (33.7 TF/MP); stage 2 (HAT embed 96, depths [6]*4, ws 8 at 256^2,
+  incl. CAB 96->32->96, MLP ratio 2, OCAB with its MLP, tail) costs
+  ~4.55 M MACs per mid pixel = ~18.2 M/LR px (36.4 TF/MP). Same 4090:
+  30% MFU on the conv stage (50 TF/s), a GENEROUS 15% eager MFU on the
+  windowed-attention stage (24.8 TF/s — 64-token windows, LNs, rolls
+  and unfolds in eager AMP realistically run below this) =>
+  33.7/50 + 36.4/24.8 = 2.14 s per input MP => ~0.47 MP/s.
+  (Cross-check: the H200 *training* anchor below implies the real
+  eager-torch rate is far lower, so 0.47 favors the reference.)
+
+* Hybrid training (REF_H200_TRAIN_SAMPLES_S = 2.5): estimated
+  reference-on-H200 rate for its production config (batch 3 accum 20,
+  AMP, scripts/Modello_supporto.py:124-148; hardware readme.md:91-95)
+  — the derivation and the one-v5e-chip match (2.49 samples/s) are in
+  BENCHMARKS.md "training throughput" (round 3).
+
+DMA probe fields (dma_gbps_lane64 / lane128 / ratio): round 3 measured
+the Pallas grid pipeline moving 64-lane blocks at ~190 GB/s vs
+~330 GB/s at 128 lanes (exp_r16c) — a toolchain ceiling worth
+~145 ms/frame on the headline. The probe re-measures both rates every
+bench run so a libtpu bump that fixes 64-lane DMA shows up in
+BENCH_r*.json the round it lands (VERDICT r3 item 5).
 """
 
 from __future__ import annotations
@@ -27,55 +68,86 @@ import time
 
 import numpy as np
 
-REF_GPU_MPS_X4 = 1.4  # estimated reference-on-GPU input MP/s (see docstring)
+REF_GPU_MPS_X4 = 1.4          # reference-on-4090 ESRGAN x4 (docstring)
+REF_GPU_MPS_HYBRID = 0.47     # reference-on-4090 hybrid (docstring)
+REF_H200_TRAIN_SAMPLES_S = 2.5  # reference-on-H200 hybrid training
+
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("SRTPU_BENCH_BUDGET_S", "420"))
 
 
-def main() -> None:
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _marginal_ms(fn, x, iters):
+    """House-rule timing (BENCHMARKS.md round 3): marginal ms/step
+    between a K-step and a 2K-step data-dependent fori_loop chain
+    inside one jit whose result is device_get'ed — the only per-step
+    timing that syncs reliably through the axon tunnel."""
     import jax
     import jax.numpy as jnp
 
-    from superresolution_tpu.utils.runtime import setup_jax_cache
+    def make(n):
+        @jax.jit
+        def run(v):
+            def body(_, u):
+                out = fn(u)
+                return (u + jnp.mean(out.astype(jnp.float32))
+                        .astype(u.dtype))
 
-    setup_jax_cache()
+            out = jax.lax.fori_loop(0, n, body, v)
+            return jnp.sum(out.astype(jnp.float32))
+
+        return run
+
+    r1, r2 = make(iters), make(2 * iters)
+    jax.device_get(r1(x))
+    jax.device_get(r2(x))
+    t0 = time.perf_counter()
+    jax.device_get(r1(x))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(r2(x))
+    t2 = time.perf_counter() - t0
+    return (t2 - t1) / iters * 1e3
+
+
+def bench_headline() -> dict:
+    """ESRGAN RRDB x4, tiled 2K inference (BASELINE config 4)."""
+    import jax
+    import jax.numpy as jnp
 
     from superresolution_tpu.infer import make_tiled_infer_staged
+    from superresolution_tpu.infer.fused_trunk import make_fused_trunk
+    from superresolution_tpu.infer.phase_tail import make_phase_tail
     from superresolution_tpu.models import RRDBNet
     from superresolution_tpu.utils.precision import get_policy
 
-    # flagship: ESRGAN RRDB generator, fused-projection dense blocks,
-    # sub-pixel upsampler (convs at LR resolution)
     model = RRDBNet(scale=4, in_channels=3, out_channels=3, features=64,
                     num_blocks=23, growth=32, upsampler="pixelshuffle")
     policy = get_policy("bf16")
     # tile geometry tuned for v5e: rectangular 360x240 tiles divide
     # 1920x1080 in a 3x8 grid with ZERO padding waste; trunk AND tail
-    # run all 24 tiles in one batch — the phase-space tail keeps every
-    # intermediate at LR resolution, so the x4 HBM pressure that forced
-    # chunked tail mapping is gone (tb sweep: 6 -> 1.465, 12 -> 1.480,
-    # 24 -> 1.490 MP/s). Narrower tiles raise the fused dense-block
-    # kernel's row block to rb=94 (wp=272: 376 = 4x94 fits the VMEM row
-    # budget) — per-block halo FLOP overhead 1+10/rb drops 1.213x ->
-    # 1.106x, which beats the extra tile-halo area (1.088x -> 1.114x).
-    # halo 8: BasicSR's own ESRGAN tiler uses tile_pad=10, and measured
-    # seam error at halo 8 vs 48 is within bf16 noise (exp_r2 seam sweep).
+    # run all 24 tiles in one batch. Narrower tiles raise the fused
+    # dense-block kernel's row block to rb=94 (wp=272: 376 = 4x94 fits
+    # the VMEM row budget). halo 8: BasicSR's own ESRGAN tiler uses
+    # tile_pad=10, and measured seam error at halo 8 vs 48 is within
+    # bf16 noise (exp_r2 seam sweep). Full rationale: BENCHMARKS.md.
     tile, halo, batch = (360, 240), 8, 24
     h, w = 1080, 1920  # 2K-resolution input
 
-    # init under jit: eager per-op dispatch through the TPU tunnel is slow
+    # init under jit: eager per-op dispatch through the tunnel is slow
     params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     params = policy.cast_to_compute(params)  # weights resident in bf16
 
     # fused dense-block trunk: every 5-conv RRDB dense block runs as ONE
-    # Pallas program (ops/pallas_dense_trunk.py) — 1.17x the XLA trunk
-    # (1495 ms vs 1746 ms on this tile batch; BENCHMARKS.md r3)
-    from superresolution_tpu.infer.fused_trunk import make_fused_trunk
-
-    # SRTPU_CHAIN_RRDB=1: whole-RRDB chained kernel (halo 15, one
-    # pallas_call per RRDB) — the r3 A/B lever for the 2-of-3 HBM
-    # boundary saving vs the deeper halo cascade
-    # SRTPU_FOLD_ENDS=1: A/B lever for the r3 end folds (conv_first
-    # prologue + trunk_conv epilogue kernels) — measured a wash
-    # (1.5779 vs 1.5773 MP/s), default off (BENCHMARKS.md r3)
+    # Pallas program (ops/pallas_dense_trunk.py). SRTPU_CHAIN_RRDB /
+    # SRTPU_FOLD_ENDS: measured-closed r3 A/B levers (BENCHMARKS.md).
     fused_trunk = make_fused_trunk(
         params, model,
         chain_rrdb=bool(os.environ.get("SRTPU_CHAIN_RRDB")),
@@ -84,21 +156,13 @@ def main() -> None:
     def trunk_fn(x):
         return fused_trunk(x.astype(policy.compute_dtype))
 
-    # deploy-time phase-space tail: conv_hr and conv_last run as Pallas
-    # phase-gathered dots at LR resolution (infer/phase_tail.py; exact on
-    # the same weights up to bf16 reassociation, measured 61 vs 70 ms per
-    # 6-tile chunk against the folded tail). Output stays bf16 on device
-    # (quantized to uint16 at write-out).
-    from superresolution_tpu.infer.phase_tail import make_phase_tail
-
+    # deploy-time phase-space tail: conv_hr and conv_last as Pallas
+    # phase-gathered dots at LR resolution (infer/phase_tail.py)
     tail_fn = make_phase_tail(params)
 
-    # Fully on-device two-stage tiled inference: the compute-bound trunk
-    # runs over ALL tiles in one batch (best MXU utilization), the
-    # memory-bound x4 tail is mapped in small chunks. In production the HR
-    # output stays in HBM (metrics / uint16 quantize / collective
-    # write-out). This dev harness's host link is a ~1.4 MB/s tunnel, so
-    # host round-trips are excluded from the compute metric by construction.
+    # Fully on-device two-stage tiled inference. This dev harness's
+    # host link is a ~1.4 MB/s tunnel, so host round-trips are excluded
+    # from the compute metric by construction.
     runner = make_tiled_infer_staged(
         trunk_fn, tail_fn, scale=4, tile=tile, halo=halo, tail_batch=batch,
         h=h, w=w, channels=3)
@@ -117,37 +181,13 @@ def main() -> None:
     sanity = float(jnp.mean(out))
     assert np.isfinite(sanity)
 
-    # On-hardware kernel equivalence as a driver-visible artifact
-    # (VERDICT r2 item 5): every production Pallas kernel (incl. the r3
-    # train-backward and chained-RRDB kernels) vs its XLA reference on
-    # real Mosaic. Results land in CHIPEQ.json; the headline line
-    # carries the verdict. SRTPU_SKIP_CHIPEQ=1 opts out (dev loops).
-    chipeq_pass = None
-    if not os.environ.get("SRTPU_SKIP_CHIPEQ"):
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "benchmarks"))
-        try:
-            import chip_equivalence
-
-            chipeq = chip_equivalence.run_all()
-            chipeq_pass = chipeq["pass"]
-        except Exception as e:  # never lose the headline metric
-            chipeq = {"pass": False, "error": repr(e)}
-            chipeq_pass = False
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "CHIPEQ.json"), "w") as f:
-            json.dump(chipeq, f, indent=2)
-
     mp = h * w / 1e6
     value = mp / dt  # single chip
-    # model cost: ~35.8 TFLOPs per input MP (BENCHMARKS.md derivation);
-    # MFU is reported against the chip's nominal 197 bf16 TF/s and
-    # against the XLA-convolution trunk rate this bench used before the
-    # fused dense-block kernel (42.4 TF/s, benchmarks/exp_r2_trunk.py —
-    # a floor the r3 kernel now beats, not a ceiling: exp_r4c showed it
-    # was a per-conv HBM round-trip bound, not an MXU limit).
+    # model cost ~35.8 TFLOPs per input MP; MFU vs the chip's nominal
+    # 197 bf16 TF/s and vs the round-2 XLA-conv envelope (42.4 TF/s,
+    # benchmarks/exp_r2_trunk.py) — a floor the fused kernel beats.
     tflops_per_mp = 35.8
-    print(json.dumps({
+    return {
         "metric": "input megapixels/sec/chip, ESRGAN RRDB x4 tiled 2K inference",
         "value": round(value, 4),
         "unit": "MP/s/chip",
@@ -155,8 +195,174 @@ def main() -> None:
         "mfu_vs_nominal_197tf": round(value * tflops_per_mp / 197.0, 3),
         "vs_r2_xla_conv_envelope_42tf": round(
             value * tflops_per_mp / 42.4, 3),
-        "chipeq_pass": chipeq_pass,
-    }))
+    }
+
+
+def bench_hybrid() -> dict:
+    """The reference's flagship hybrid (RRDBNet 23 + HAT stage 2),
+    fused deploy path, batch 4, 128^2 -> 512^2 (exp_r19 geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_tpu.infer.fused_hat import fused_hybrid_model
+    from superresolution_tpu.models import HATLite, HybridSR, RRDBNet
+    from superresolution_tpu.utils.precision import get_policy
+
+    batch = 4
+    policy = get_policy("bf16")
+    model = HybridSR(
+        stage1=RRDBNet(scale=2, in_channels=1, out_channels=1,
+                       features=64, num_blocks=23, growth=32,
+                       upsampler="pixelshuffle"),
+        stage2=HATLite(scale=2, in_channels=1, out_channels=1,
+                       embed_dim=96, depths=(6,) * 4,
+                       num_heads=(6,) * 4, window_size=8,
+                       attn_f32=False, flash_attn=True),
+        smoothing="balanced", output_size=512)
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, 128, 128, 1)))
+    params = policy.cast_to_compute(params)
+    wrapped = fused_hybrid_model(params, model)
+    x = jax.random.normal(jax.random.key(1), (batch, 128, 128, 1),
+                          jnp.bfloat16)
+    ms = _marginal_ms(lambda v: wrapped.apply(None, v), x, iters=5)
+    value = batch * 128 * 128 / 1e6 / (ms / 1e3)
+    return {
+        "metric": ("input megapixels/sec/chip, hybrid RRDB+HAT x4 "
+                   "(reference flagship), batch 4, 128^2->512^2"),
+        "value": round(value, 4),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(value / REF_GPU_MPS_HYBRID, 3),
+        "ms_per_batch": round(ms, 1),
+    }
+
+
+def bench_training() -> dict:
+    """hybrid_astro REAL train step (Trainer-built: fused Pallas trunk,
+    remat, bf16 policy, AdamW) — the H200 training parity anchor."""
+    import train_bench  # benchmarks/ (sys.path set up in main)
+
+    r = train_bench.bench_preset("hybrid_astro", steps=5)
+    return {
+        "metric": ("training samples/sec/chip, hybrid RRDB+HAT "
+                   "(reference prod config: LR 128^2 -> HR 512^2)"),
+        "value": round(r["samples_per_s"], 3),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(
+            r["samples_per_s"] / REF_H200_TRAIN_SAMPLES_S, 3),
+        "ms_per_step": round(r["ms_per_step"], 1),
+        "batch": r["batch"],
+    }
+
+
+def dma_probe() -> dict:
+    """64-lane vs 128-lane Pallas passthrough GB/s (grid-pipelined DMA
+    both directions, same total bytes). Detects a libtpu fix of the
+    64-lane rate penalty (~145 ms/frame on the headline, BENCHMARKS.md
+    'call-floor anatomy CORRECTED')."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def make_pt(shape, rb):
+        b, h, w2, c2 = shape
+        nb = h // rb
+
+        def kernel(mid_ref, out_ref):
+            out_ref[0] = mid_ref[0]
+
+        def apply(x):
+            mid = x.reshape(b * nb, rb, w2, c2)
+            out = pl.pallas_call(
+                kernel,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=110 * 1024 * 1024),
+                grid=(b * nb,),
+                in_specs=[pl.BlockSpec((1, rb, w2, c2),
+                                       lambda i: (i, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, rb, w2, c2),
+                                       lambda i: (i, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((b * nb, rb, w2, c2),
+                                               x.dtype),
+            )(mid)
+            return out.reshape(b, h, w2, c2)
+
+        return apply
+
+    out = {}
+    # the headline trunk's operand class: [24,376,272,64] bf16 at
+    # rb=94 (64 lanes), vs the same bytes repacked to 128 lanes
+    for tag, shape in (("lane64", (24, 376, 272, 64)),
+                       ("lane128", (24, 376, 136, 128))):
+        x = jax.random.normal(jax.random.key(0), shape,
+                              jnp.float32).astype(jnp.bfloat16)
+        ms = _marginal_ms(make_pt(shape, 94), x, iters=10)
+        gb = 2 * int(np.prod(shape)) * 2 / 1e9  # read + write, bf16
+        out[f"dma_gbps_{tag}"] = round(gb / (ms / 1e3), 1)
+    out["dma_lane64_over_lane128"] = round(
+        out["dma_gbps_lane64"] / max(out["dma_gbps_lane128"], 1e-9), 3)
+    return out
+
+
+def main() -> None:
+    from superresolution_tpu.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+
+    # 1. headline — ALWAYS first on stdout, before any optional stage
+    headline = bench_headline()
+    _emit(headline)
+
+    annotations: dict = {}
+
+    # 2. DMA probe (fast; rides the final headline line)
+    if _remaining() > 45:
+        try:
+            annotations.update(dma_probe())
+        except Exception as e:
+            annotations["dma_probe_error"] = repr(e)
+
+    # 3. hybrid flagship line
+    if _remaining() > 90:
+        try:
+            _emit(bench_hybrid())
+        except Exception as e:
+            annotations["hybrid_bench_error"] = repr(e)
+
+    # 4. training parity line
+    if _remaining() > 150 and not os.environ.get("SRTPU_SKIP_TRAINBENCH"):
+        try:
+            _emit(bench_training())
+        except Exception as e:
+            annotations["train_bench_error"] = repr(e)
+
+    # 5. chip equivalence, stdout-quiet, under the remaining budget;
+    # results land in CHIPEQ.json, the verdict rides the final line
+    if not os.environ.get("SRTPU_SKIP_CHIPEQ") and _remaining() > 30:
+        try:
+            import chip_equivalence
+
+            chipeq = chip_equivalence.run_all(
+                deadline=T0 + BUDGET_S, quiet=True)
+        except Exception as e:  # never lose the headline metric
+            chipeq = {"pass": False, "error": repr(e),
+                      "failed": [], "skipped": [], "results": {}}
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "CHIPEQ.json"), "w") as f:
+            json.dump(chipeq, f, indent=2)
+        annotations["chipeq_pass"] = chipeq["pass"]
+        if chipeq.get("skipped"):
+            annotations["chipeq_skipped"] = len(chipeq["skipped"])
+
+    # 6. final line = the headline again, annotated — the driver's
+    # last-JSON-line parse always lands on the headline metric
+    headline.update(annotations)
+    _emit(headline)
 
 
 if __name__ == "__main__":

@@ -5,6 +5,11 @@ this catches interpret-vs-Mosaic divergence and toolchain regressions).
 Prints one JSON line per kernel with the max |diff| and a PASS/FAIL
 against a bf16-scale tolerance; exits nonzero on any FAIL.
 
+Checks are grouped into SECTIONS so a caller (bench.py) can run them
+under a wall-clock deadline: sections past the deadline are recorded as
+skipped rather than blowing the caller's time budget (BENCH_r03 died at
+rc 124 because this suite ran unbudgeted before the headline printed).
+
 Usage (on the TPU chip): python benchmarks/chip_equivalence.py
 """
 
@@ -13,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,6 +32,8 @@ setup_jax_cache()
 
 FAILED = []
 RESULTS = {}
+QUIET = False  # True: per-kernel lines go to stderr (keeps the caller's
+               # stdout clean for the driver's last-JSON-line parser)
 
 
 def check(name, got, ref, tol):
@@ -39,28 +47,14 @@ def check(name, got, ref, tol):
     ok = d / scale <= tol
     RESULTS[name] = {"max_diff": round(d, 6),
                      "rel": round(d / scale, 6), "tol": tol, "pass": ok}
-    print(json.dumps({name: RESULTS[name]}), flush=True)
+    print(json.dumps({name: RESULTS[name]}), flush=True,
+          file=sys.stderr if QUIET else sys.stdout)
     if not ok:
         FAILED.append(name)
 
 
-def run_all() -> dict:
-    """Run every check; returns {'pass': bool, 'failed': [...],
-    'results': {...}} — imported by bench.py so real-Mosaic kernel
-    regressions surface in a driver-visible artifact (CHIPEQ json,
-    VERDICT r2 item 5)."""
-    FAILED.clear()
-    RESULTS.clear()
-    _run_checks()
-    return {"pass": not FAILED, "failed": list(FAILED),
-            "results": dict(RESULTS)}
-
-
-def _run_checks():
-    assert jax.default_backend() != "cpu", "run on the chip"
-    key = jax.random.key(0)
-
-    # 1. fused dense block vs the flax FusedDenseBlock
+def _sec_dense_block(ctx):
+    # fused dense block vs the flax FusedDenseBlock
     from superresolution_tpu.models.rrdbnet import FusedDenseBlock
     from superresolution_tpu.ops.pallas_dense_trunk import (
         fused_dense_block, pack, proj_weights, unpack)
@@ -68,21 +62,24 @@ def _run_checks():
     blk = FusedDenseBlock(features=64, growth=32)
     x = jax.random.normal(jax.random.key(1), (2, 48, 64, 64),
                           jnp.bfloat16) * 0.5
-    dp = blk.init(key, x)["params"]
+    dp = blk.init(jax.random.key(0), x)["params"]
     ref = jax.jit(lambda v: blk.apply({"params": dp}, v))(x)
     w = proj_weights(dp, jnp.bfloat16)
     got = jax.jit(lambda v: unpack(
         fused_dense_block(pack(v), w, width=64), 64))(x)
     check("fused_dense_block", got, ref, 0.02)
+    ctx["x"], ctx["w"], ctx["xpv"] = x, w, pack(x)
 
-    # 1b. the full fused trunk (incl. the folded RRDB residual) vs the
+
+def _sec_fused_trunk(ctx):
+    # the full fused trunk (incl. the folded RRDB residual) vs the
     # model's trunk apply
     from superresolution_tpu.infer.fused_trunk import make_fused_trunk
     from superresolution_tpu.models.rrdbnet import RRDBNet as _RRDB
 
     tm = _RRDB(scale=4, in_channels=3, out_channels=3, features=64,
                num_blocks=2, growth=32, upsampler="pixelshuffle")
-    tv = tm.init(key, jnp.zeros((1, 16, 16, 3)))
+    tv = tm.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
     xt = jax.random.uniform(jax.random.key(7), (2, 48, 64, 3),
                             jnp.bfloat16)
     ref = jax.jit(lambda v: tm.apply(tv, v, method="trunk"))(xt)
@@ -94,13 +91,15 @@ def _run_checks():
     got_f = jax.jit(make_fused_trunk(tv, tm, fold_ends=True))(xt)
     check("fused_trunk_end_folds", got_f, ref, 0.02)
 
-    # 2. phase-space tail vs the RRDBNet tail apply
+
+def _sec_phase_tail(ctx):
+    # phase-space tail vs the RRDBNet tail apply
     from superresolution_tpu.infer.phase_tail import make_phase_tail
     from superresolution_tpu.models.rrdbnet import RRDBNet
 
     model = RRDBNet(scale=4, in_channels=3, out_channels=3, features=64,
                     num_blocks=1, growth=32, upsampler="pixelshuffle")
-    variables = model.init(key, jnp.zeros((1, 16, 16, 3)))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
     feat = jax.random.normal(jax.random.key(2), (2, 48, 64, 64),
                              jnp.bfloat16) * 0.3
     ref = jax.jit(lambda v: model.apply(variables, v, method="tail"))(feat)
@@ -108,23 +107,25 @@ def _run_checks():
     got = jax.jit(tail)(feat)
     check("phase_tail", got, ref, 0.02)
 
-    # 3. fused HAT (HAB kernels + flash attention) vs HATLite.apply
+
+def _sec_fused_hat(ctx):
+    # fused HAT (HAB kernels + flash attention) vs HATLite.apply
     from superresolution_tpu.infer.fused_hat import make_fused_hat
     from superresolution_tpu.models.hat_lite import HATLite
 
-    hat = HATLite(scale=2, in_channels=1, out_channels=1, embed_dim=96,
-                  depths=(2, 2), num_heads=(6, 6), window_size=8)
-    hv = hat.init(key, jnp.zeros((1, 32, 32, 1)))
     xb = jax.random.uniform(jax.random.key(3), (2, 64, 64, 1),
                             jnp.bfloat16)
+    hat = HATLite(scale=2, in_channels=1, out_channels=1, embed_dim=96,
+                  depths=(2, 2), num_heads=(6, 6), window_size=8)
+    hv = hat.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
     ref = jax.jit(lambda v: hat.apply(hv, v))(xb)
     got = jax.jit(make_fused_hat(hv, hat))(xb)
     check("fused_hat_ws8", got, ref, 0.03)
 
-    # 3b. the ws=16 path (flash OCAB on chip)
+    # the ws=16 path (flash OCAB on chip)
     hat16 = HATLite(scale=2, in_channels=1, out_channels=1, embed_dim=96,
                     depths=(2, 2), num_heads=(6, 6), window_size=16)
-    hv16 = hat16.init(key, jnp.zeros((1, 32, 32, 1)))
+    hv16 = hat16.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
     ref = jax.jit(lambda v: HATLite(
         scale=2, in_channels=1, out_channels=1, embed_dim=96,
         depths=(2, 2), num_heads=(6, 6), window_size=16,
@@ -132,7 +133,9 @@ def _run_checks():
     got = jax.jit(make_fused_hat(hv16, hat16))(xb)
     check("fused_hat_ws16_flash_ocab", got, ref, 0.03)
 
-    # 4. flash window attention vs the einsum reference
+
+def _sec_flash_attn(ctx):
+    # flash window attention vs the einsum reference
     from superresolution_tpu.ops.pallas_attn import flash_window_attention
 
     nb, n, c, nh = 8, 64, 96, 6
@@ -154,7 +157,9 @@ def _run_checks():
         a, b_, c_, d, nh, False, None))(q, k, v, bias)
     check("flash_window_attention", got, ref, 1e-4)
 
-    # 5. Pallas star-weighted L1 (value + grad) vs jnp
+
+def _sec_star_l1(ctx):
+    # Pallas star-weighted L1 (value + grad) vs jnp
     from superresolution_tpu.losses.basic import star_weighted_l1
     from superresolution_tpu.ops.pallas_loss import star_weighted_l1_pallas
 
@@ -167,14 +172,16 @@ def _run_checks():
     check("star_l1_value", got, ref, 1e-4)
     check("star_l1_grad", ggot, gref, 1e-4)
 
-    # 6. fused dense-block TRAINING kernel (r3): value + dx + dW on real
+
+def _sec_dense_train(ctx):
+    # fused dense-block TRAINING kernel (r3): value + dx + dW on real
     # Mosaic vs jax.grad of the XLA packed-block oracle
     from superresolution_tpu.ops.pallas_dense_trunk import PAD
     from superresolution_tpu.ops.pallas_dense_trunk_vjp import (
         fused_dense_block_train, xla_reference_packed_block)
 
-    xpv = pack(x)  # [2, 48, wp, 64] bf16 from check 1
-    wt = tuple(w)
+    xpv = ctx["xpv"]  # [2, 48, wp, 64] bf16 from _sec_dense_block
+    wt = tuple(ctx["w"])
     cot = jax.random.normal(jax.random.key(8), xpv.shape,
                             jnp.bfloat16) * 0.1
 
@@ -199,9 +206,14 @@ def _run_checks():
     for i in (0, 3, 15):
         check(f"dense_train_dw{i}", dwg[i], dwr[i], 0.03)
 
-    # 7. chained whole-RRDB kernel (r3) vs three fused blocks + residual
-    from superresolution_tpu.ops.pallas_dense_trunk import fused_rrdb
 
+def _sec_chained_rrdb(ctx):
+    # chained whole-RRDB kernel (r3) vs three fused blocks + residual
+    from superresolution_tpu.models.rrdbnet import FusedDenseBlock
+    from superresolution_tpu.ops.pallas_dense_trunk import (
+        fused_dense_block, fused_rrdb, proj_weights)
+
+    x, xpv = ctx["x"], ctx["xpv"]
     w3 = [proj_weights(FusedDenseBlock(features=64, growth=32).init(
         jax.random.key(20 + i), x)["params"], jnp.bfloat16)
         for i in range(3)]
@@ -214,10 +226,59 @@ def _run_checks():
     check("fused_rrdb_chained", got, ref, 0.02)
 
 
+# Ordered: dependents (_sec_dense_train, _sec_chained_rrdb need the
+# ctx _sec_dense_block fills) come after their dependency; a deadline
+# cut is a prefix cut, so a skipped dependency implies skipped users.
+SECTIONS = [
+    ("dense_block", _sec_dense_block),
+    ("fused_trunk", _sec_fused_trunk),
+    ("phase_tail", _sec_phase_tail),
+    ("fused_hat", _sec_fused_hat),
+    ("flash_attn", _sec_flash_attn),
+    ("star_l1", _sec_star_l1),
+    ("dense_train", _sec_dense_train),
+    ("chained_rrdb", _sec_chained_rrdb),
+]
+
+
+def run_all(deadline: float | None = None, quiet: bool = False) -> dict:
+    """Run every section; returns {'pass': bool, 'failed': [...],
+    'skipped': [...], 'errors': {...}, 'results': {...}} — imported by
+    bench.py so real-Mosaic kernel regressions surface in a
+    driver-visible artifact (CHIPEQ.json, VERDICT r2 item 5).
+
+    deadline: absolute time.monotonic() value; sections not yet started
+    by then are recorded in 'skipped' instead of run (a skipped section
+    does not fail the suite — the headline carries the skip count so a
+    chronically-skipping bench is still visible).
+    """
+    global QUIET
+    QUIET = quiet
+    FAILED.clear()
+    RESULTS.clear()
+    assert jax.default_backend() != "cpu", "run on the chip"
+    skipped, errors = [], {}
+    ctx: dict = {}
+    for name, fn in SECTIONS:
+        if deadline is not None and time.monotonic() > deadline:
+            skipped.append(name)
+            continue
+        try:
+            fn(ctx)
+        except KeyError as e:  # missing ctx dependency (earlier error)
+            errors[name] = f"missing dependency: {e!r}"
+        except Exception as e:
+            errors[name] = repr(e)
+    return {"pass": not FAILED and not errors,
+            "failed": list(FAILED), "skipped": skipped,
+            "errors": errors, "results": dict(RESULTS)}
+
+
 def main():
-    _run_checks()
-    if FAILED:
-        print(json.dumps({"FAILED": FAILED}), flush=True)
+    res = run_all()
+    if not res["pass"]:
+        print(json.dumps({"FAILED": res["failed"],
+                          "errors": res["errors"]}), flush=True)
         raise SystemExit(1)
     print(json.dumps({"all": "PASS"}), flush=True)
 
