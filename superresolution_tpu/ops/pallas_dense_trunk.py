@@ -119,7 +119,8 @@ def _lrelu(x):
             * jnp.minimum(x, jnp.asarray(0, x.dtype)))
 
 
-def _roll_conv3(u, a, b, cm, *, wp, width, row0, h_img, bias=None):
+def _roll_conv3(u, a, b, cm, *, wp, width, row0, h_img, bias=None,
+                seg=None):
     """One 3x3 SAME roll-conv on a flat token stream.
 
     u: [(rows+2)*wp, cin] (one halo row each side); a/b/cm: the
@@ -128,6 +129,14 @@ def _roll_conv3(u, a, b, cm, *, wp, width, row0, h_img, bias=None):
     (negative while inside a halo cascade). Shared by dense_cascade and
     the prologue/epilogue fold kernels so the mask/roll math cannot
     diverge between them.
+
+    seg: optional (stride, valid) ints for BATCH-PACKED inputs — B
+    images stacked along H at `stride` rows apiece, the first `valid`
+    real and the rest zero spacers. Rows with r_img % stride >= valid
+    are masked at EVERY conv stage, so each image sees exact zero-pad
+    SAME semantics and one spacer row suffices for any cascade depth
+    (a 3x3 tap reaches one row past the image; that row is a spacer
+    re-zeroed before the next stage reads it).
     """
     mu = u.shape[0]
     mo = mu - 2 * wp
@@ -153,12 +162,15 @@ def _roll_conv3(u, a, b, cm, *, wp, width, row0, h_img, bias=None):
     r_img = row + row0
     ok = ((col >= PAD) & (col < PAD + width)
           & (r_img >= 0) & (r_img < h_img))
+    if seg is not None:
+        stride, valid = seg
+        ok = ok & (r_img % stride < valid)
     o2 = jnp.where(ok, o2, jnp.asarray(0, o2.dtype))
     return o2.reshape(mo, n)
 
 
 def dense_cascade(xf, weights, *, wp, width, row_start, h_img, g,
-                  out_halo=0):
+                  out_halo=0, seg=None):
     """The 5-conv dense-block body on a flat token stream.
 
     xf: [m, cin] at halo `out_halo + HALO`; weights: the 16-entry
@@ -173,7 +185,7 @@ def dense_cascade(xf, weights, *, wp, width, row_start, h_img, g,
     def rconv(u, a, b, cm, mask_k, bias=None):
         return _roll_conv3(u, a, b, cm, wp=wp, width=width,
                            row0=row_start - out_halo - HALO + mask_k,
-                           h_img=h_img, bias=bias)
+                           h_img=h_img, bias=bias, seg=seg)
 
     # Incremental cascade: each stage's pre-activation accumulator is
     # seeded from the px slice and every p_i's slices are distributed
@@ -204,14 +216,14 @@ def dense_cascade(xf, weights, *, wp, width, row_start, h_img, g,
 
 
 def _kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref=None,
-            rb, wp, width, nb, h_img, g, c, res_ref=None):
+            rb, wp, width, nb, h_img, g, c, res_ref=None, seg=None):
     row_start = (pl.program_id(0) % nb) * rb
     top = top_ref[0].reshape(HALO * wp, c)
     mid = mid_ref[0].reshape(rb * wp, c)
     bot = bot_ref[0].reshape(HALO * wp, c)
     xf = jnp.concatenate([top, mid, bot], axis=0)
     out = dense_cascade(xf, w_refs, wp=wp, width=width,
-                        row_start=row_start, h_img=h_img, g=g)
+                        row_start=row_start, h_img=h_img, g=g, seg=seg)
     if res_ref is not None:
         # fold the RRDB-level residual (carry + block_out*0.2) into this
         # kernel's epilogue — equal to the separate XLA pass up to FMA
@@ -223,7 +235,7 @@ def _kernel(top_ref, mid_ref, bot_ref, *w_refs, out_ref=None,
 
 
 def fused_dense_block(xp, weights, *, width, rb=None, interpret=False,
-                      residual=None):
+                      residual=None, seg=None):
     """One dense block WITH its residual on packed input.
 
     xp: [B, H, Wp, C] (from `pack`, zero pad cols); weights: flat list
@@ -232,6 +244,10 @@ def fused_dense_block(xp, weights, *, width, rb=None, interpret=False,
     residual (packed, same shape as xp): fold `residual + out*0.2` — the
     RRDB-level residual — into the kernel epilogue instead of paying a
     separate XLA elementwise pass over the full tensor.
+
+    seg ((stride, valid) or None): batch-packed rows — see _roll_conv3.
+    Spacer rows pass through the identity path (xc + 0.2*masked-acc and
+    the folded residual keep them exactly zero when the input's are).
     """
     b, h, wp, c = xp.shape
     g = weights[4].shape[0] // 3  # A_1 is [3*g, ...]
@@ -250,7 +266,7 @@ def fused_dense_block(xp, weights, *, width, rb=None, interpret=False,
         if residual is not None:
             *ins, res = ins
         _kernel(*ins, out_ref=out, rb=rb, wp=wp, width=width, nb=nb,
-                h_img=h, g=g, c=c, res_ref=res)
+                h_img=h, g=g, c=c, res_ref=res, seg=seg)
 
     out = pl.pallas_call(
         kernel,

@@ -131,9 +131,11 @@ def _rconv_acc(u, a, b, cm, wp, bias=None):
     return acc
 
 
-def _mask_flat(o, *, wp, width, off, row_start, h_img):
+def _mask_flat(o, *, wp, width, off, row_start, h_img, seg=None):
     """Zero pad columns and out-of-image rows; `off` is the tensor's
-    halo (rows run [row_start - off, row_start + rows - off))."""
+    halo (rows run [row_start - off, row_start + rows - off)).
+    seg ((stride, valid) or None): batch-packed spacer rows masked too
+    (pallas_dense_trunk._roll_conv3)."""
     rows = o.shape[0] // wp
     n = o.shape[1]
     o2 = o.reshape(rows, wp, n)
@@ -142,12 +144,15 @@ def _mask_flat(o, *, wp, width, off, row_start, h_img):
     r_img = row + (row_start - off)
     ok = ((col >= PAD) & (col < PAD + width)
           & (r_img >= 0) & (r_img < h_img))
+    if seg is not None:
+        stride, valid = seg
+        ok = ok & (r_img % stride < valid)
     return jnp.where(ok, o2, jnp.asarray(0, o2.dtype)).reshape(o.shape)
 
 
 def _bwd_kernel(top_ref, mid_ref, bot_ref, dtop_ref, dmid_ref, dbot_ref,
                 *w_refs, dx_ref=None, dw_refs=None, rb, wp, width, nb,
-                h_img, g, c, has_res):
+                h_img, g, c, has_res, seg=None):
     (a_px, b_px, c_px, bias_px,
      a_1, b_1, c_1, a_2, b_2, c_2, a_3, b_3, c_3, a_4, b_4, c_4,
      *flipped) = w_refs
@@ -161,7 +166,7 @@ def _bwd_kernel(top_ref, mid_ref, bot_ref, dtop_ref, dmid_ref, dbot_ref,
 
     def mask(o, off):
         return _mask_flat(o, wp=wp, width=width, off=off,
-                          row_start=row_start, h_img=h_img)
+                          row_start=row_start, h_img=h_img, seg=seg)
 
     def fconv(u, a, b, cm, off, bias=None):
         acc = _rconv_acc(u, a, b, cm, wp, bias)
@@ -279,7 +284,8 @@ def _bwd_kernel(top_ref, mid_ref, bot_ref, dtop_ref, dmid_ref, dbot_ref,
             widx += 3
 
 
-def _bwd_impl(xp, weights, dout, has_res, width, rb, interpret):
+def _bwd_impl(xp, weights, dout, has_res, width, rb, interpret,
+              seg=None):
     b, h, wp, c = xp.shape
     g = weights[4].shape[0] // 3
     if rb is None:
@@ -301,7 +307,7 @@ def _bwd_impl(xp, weights, dout, has_res, width, rb, interpret):
         outs = refs[6 + len(weights) + len(flipped):]
         _bwd_kernel(*ins, dx_ref=outs[0], dw_refs=outs[1:], rb=rb, wp=wp,
                     width=width, nb=nb, h_img=h, g=g, c=c,
-                    has_res=has_res)
+                    has_res=has_res, seg=seg)
 
     out = pl.pallas_call(
         kernel,
@@ -376,33 +382,38 @@ def xla_reference_packed_block(xp, ws, width, residual=None):
     return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_dense_block_train(xp, weights, residual, width, rb=None,
-                            interpret=False):
+                            interpret=False, seg=None):
     """Differentiable fused dense block (+ optional folded residual).
 
     Same contract as fused_dense_block, but weights is a TUPLE (pytree
     arg) and gradients flow to xp, every weight, and residual via the
     fused backward kernel. rb=None picks per-direction row blocks.
+    seg ((stride, valid) or None): batch-packed rows — small training
+    patches stacked along H with one zero spacer row apiece so they
+    amortize like one tall image (train/fused_apply.pack_batch_rows).
     """
     return fused_dense_block(xp, list(weights), width=width, rb=rb,
-                             interpret=interpret, residual=residual)
+                             interpret=interpret, residual=residual,
+                             seg=seg)
 
 
-def _fwd(xp, weights, residual, width, rb, interpret):
+def _fwd(xp, weights, residual, width, rb, interpret, seg):
     out = fused_dense_block(xp, list(weights), width=width, rb=rb,
-                            interpret=interpret, residual=residual)
+                            interpret=interpret, residual=residual,
+                            seg=seg)
     return out, (xp, weights, residual)
 
 
-def _bwd(width, rb, interpret, saved, dout):
+def _bwd(width, rb, interpret, seg, saved, dout):
     xp, weights, residual = saved
     has_res = residual is not None
     # forward and backward pick row blocks independently (backward holds
     # ~3x the live VMEM per token)
     rb_b = None if rb is None else rb
     dxp, dws = _bwd_impl(xp, weights, dout, has_res, width, rb_b,
-                         interpret)
+                         interpret, seg=seg)
     dres = dout if has_res else None
     return dxp, dws, dres
 

@@ -40,7 +40,25 @@ def supports_fused_train(model) -> bool:
             and model.fused_dense)
 
 
-def _make_rrdb_apply(model: RRDBNet, interpret):
+def pack_batch_rows(x: jnp.ndarray, spacer: int = 1) -> jnp.ndarray:
+    """[B, H, W, C] -> [1, B*(H+spacer), W, C]: the batch stacked along
+    H with `spacer` zero rows after each image. With the kernels' seg
+    mask (pallas_dense_trunk._roll_conv3) one spacer row gives each
+    image exact zero-pad SAME semantics while the whole batch rides one
+    tall row-block grid — the amortization small training patches
+    (LR < 96^2) can't reach per-image (VERDICT r3 item 4)."""
+    b, h, w, c = x.shape
+    xr = jnp.pad(x, ((0, 0), (0, spacer), (0, 0), (0, 0)))
+    return xr.reshape(1, b * (h + spacer), w, c)
+
+
+def unpack_batch_rows(xp: jnp.ndarray, b: int, h: int,
+                      spacer: int = 1) -> jnp.ndarray:
+    """Inverse of pack_batch_rows (drops the spacer rows)."""
+    return xp.reshape(b, h + spacer, *xp.shape[2:])[:, :h]
+
+
+def _make_rrdb_apply(model: RRDBNet, interpret, row_pack=False):
     def apply(p, x):
         interp = (jax.default_backend() != "tpu" if interpret is None
                   else interpret)
@@ -51,7 +69,12 @@ def _make_rrdb_apply(model: RRDBNet, interpret):
             x = space_to_depth(x, model.pixel_unshuffle_input)
         x = head = param_conv(x, p["conv_first"]["Conv_0"])
         width = x.shape[2]
+        b, h = x.shape[0], x.shape[1]
         xp = pack(x)
+        seg = None
+        if row_pack and b > 1:
+            seg = (h + 1, h)
+            xp = pack_batch_rows(xp, 1)
         rrdb = p["body"]["RRDB_0"]
         slots = tuple(
             jax.vmap(lambda t: proj_weights_traced(t, x.dtype))(
@@ -60,15 +83,18 @@ def _make_rrdb_apply(model: RRDBNet, interpret):
         def body(carry, ws):
             w0, w1, w2 = ws
             y = fused_dense_block_train(carry, w0, None, width, None,
-                                        interp)
-            y = fused_dense_block_train(y, w1, None, width, None, interp)
+                                        interp, seg)
+            y = fused_dense_block_train(y, w1, None, width, None,
+                                        interp, seg)
             # RRDB residual folded into the third kernel (fwd epilogue /
             # bwd scale factors)
             y = fused_dense_block_train(y, w2, carry, width, None,
-                                        interp)
+                                        interp, seg)
             return y, None
 
         out, _ = jax.lax.scan(body, xp, slots)
+        if seg is not None:
+            out = unpack_batch_rows(out, b, h, 1)
         feat = unpack(out, width)
         feat = param_conv(feat, p["trunk_conv"]["Conv_0"]) + head
         return model.apply({"params": p}, feat, method="tail")
@@ -76,15 +102,20 @@ def _make_rrdb_apply(model: RRDBNet, interpret):
     return apply
 
 
-def make_fused_train_apply(model, interpret=None):
+def make_fused_train_apply(model, interpret=None, row_pack=False):
     """-> apply(params, x) == model.apply(params, x) with the RRDB trunk
-    on fused train kernels; differentiable in params and x."""
+    on fused train kernels; differentiable in params and x.
+
+    row_pack: stack the batch along H (one zero spacer row per image,
+    seg-masked in the kernels) so small patches amortize the recompute
+    halo like one tall image — the sub-96^2 fused-train lever."""
     if not supports_fused_train(model):
         raise ValueError(
             "fused train apply requires an RRDBNet (or HybridSR over"
             " one) with scan_blocks and fused_dense")
     if isinstance(model, HybridSR):
-        stage1_apply = _make_rrdb_apply(model.stage1, interpret)
+        stage1_apply = _make_rrdb_apply(model.stage1, interpret,
+                                        row_pack)
 
         def apply(params, x):
             from superresolution_tpu.ops.blur import anti_checkerboard
@@ -108,7 +139,7 @@ def make_fused_train_apply(model, interpret=None):
 
         return apply
 
-    rrdb_apply = _make_rrdb_apply(model, interpret)
+    rrdb_apply = _make_rrdb_apply(model, interpret, row_pack)
 
     def apply(params, x):
         p = params["params"] if "params" in params else params
@@ -118,7 +149,7 @@ def make_fused_train_apply(model, interpret=None):
 
 
 def make_fused_train_apply_dp(model, mesh, interpret=None,
-                              axis: str = "data"):
+                              axis: str = "data", row_pack=False):
     """Data-parallel fused train apply: pallas_call has no GSPMD
     partitioning rule, so on a >1-device mesh the fused forward runs
     under shard_map — params replicated (their cotangents psum over the
@@ -128,7 +159,7 @@ def make_fused_train_apply_dp(model, mesh, interpret=None,
 
     from jax.sharding import PartitionSpec as P
 
-    inner = make_fused_train_apply(model, interpret)
+    inner = make_fused_train_apply(model, interpret, row_pack)
 
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
     # annotation, which the vma checker requires

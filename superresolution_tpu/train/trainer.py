@@ -153,16 +153,27 @@ class Trainer:
                 supports_fused_train,
             )
 
-            # geometry gate (benchmarks/exp_r15b_fused_train_ab.py, on
-            # chip): the fused train path wins 1.36x at LR 128^2 (the
-            # reference production patch) but LOSES 1.64x at LR 48^2
-            # (esrgan presets) — too few tokens to amortize the fused
-            # backward's recompute + kernel machinery. Auto enables it
-            # only at large-enough trunk resolution; fused_trunk=True
-            # forces it anywhere.
-            auto = (config.train.fused_trunk is None
-                    and jax.default_backend() == "tpu"
-                    and lr_patch >= FUSED_TRUNK_AUTO_MIN_PATCH)
+            # geometry gate (benchmarks/exp_r15b_fused_train_ab.py +
+            # exp_r24_packed_train.py, on chip): the fused train path
+            # wins 1.36x at LR 128^2 (the reference production patch)
+            # per image; below FUSED_TRUNK_AUTO_MIN_PATCH the per-image
+            # form LOSES (1.64x at 48^2 — too few rows to amortize the
+            # recompute halo), so auto switches to ROW-PACKED fused
+            # (batch stacked along H with seg-masked spacer rows,
+            # train/fused_apply.pack_batch_rows) when the per-step
+            # batch is big enough to make one tall grid.
+            accum = max(1, min(config.train.accum_steps,
+                               self.batch_size))
+            micro = self.batch_size // accum  # images per apply call
+            on_tpu = jax.default_backend() == "tpu"
+            big_patch = lr_patch >= FUSED_TRUNK_AUTO_MIN_PATCH
+            row_pack = not big_patch and micro > 1
+            auto = (config.train.fused_trunk is None and on_tpu
+                    and big_patch)
+            if config.train.fused_trunk is None and row_pack and on_tpu:
+                # packed auto-crossover pending exp_r24 measurement:
+                # opt-in below the measured-win floor until then
+                auto = bool(os.environ.get("SRTPU_PACKED_TRAIN"))
             if ((config.train.fused_trunk or auto)
                     and supports_fused_train(self.model)):
                 if self.mesh.devices.size > 1:
@@ -171,9 +182,10 @@ class Trainer:
                     # shard_map (batch on 'data', params replicated —
                     # their cotangents psum in shard_map's transpose)
                     fused_apply = make_fused_train_apply_dp(
-                        self.model, self.mesh)
+                        self.model, self.mesh, row_pack=row_pack)
                 else:
-                    fused_apply = make_fused_train_apply(self.model)
+                    fused_apply = make_fused_train_apply(
+                        self.model, row_pack=row_pack)
 
         if self.is_gan:
             self.disc = VGGStyleDiscriminator(

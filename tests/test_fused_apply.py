@@ -108,3 +108,33 @@ def test_trainer_wires_fused_trunk(tmp_path):
     tr = Trainer(cfg, workdir=str(tmp_path))
     out = tr.fit()
     assert out["final_step"] == tr.steps_per_epoch
+
+
+def test_fused_apply_row_pack_matches_model_apply_and_grads():
+    """row_pack=True (batch stacked along H with seg-masked spacer
+    rows): same value and parameter gradients as model.apply at
+    batch > 1 — the sub-96^2 amortization path (VERDICT r3 item 4)."""
+    model = _net()
+    x = jax.random.normal(jax.random.key(4), (3, 12, 12, 3), jnp.float32)
+    params = model.init(jax.random.key(1), x)
+    apply = make_fused_train_apply(model, interpret=True, row_pack=True)
+    ref = model.apply(params, x)
+    got = apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    cot = jax.random.normal(jax.random.key(5), ref.shape, jnp.float32)
+
+    def loss_ref(p):
+        return jnp.sum(model.apply(p, x) * cot)
+
+    def loss_fused(p):
+        return jnp.sum(apply(p, x) * cot)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_got = jax.grad(loss_fused)(params)
+    for (kp, r), (_, g) in zip(jax.tree.leaves_with_path(g_ref),
+                               jax.tree.leaves_with_path(g_got)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=2e-3, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(kp))
