@@ -134,6 +134,31 @@ def _sec_fused_hat(ctx):
     check("fused_hat_ws16_flash_ocab", got, ref, 0.03)
 
 
+def _sec_strip_hab(ctx):
+    # the strip-merged HAB path (ops/pallas_hab_strip.py) and the
+    # stacked-attention window kernel, both vs HATLite.apply on real
+    # Mosaic (interpret-mode equivalence lives in tests/test_fused_hat)
+    import os
+
+    from superresolution_tpu.infer.fused_hat import make_fused_hat
+    from superresolution_tpu.models.hat_lite import HATLite
+
+    xb = jax.random.uniform(jax.random.key(3), (2, 64, 64, 1),
+                            jnp.bfloat16)
+    hat = HATLite(scale=2, in_channels=1, out_channels=1, embed_dim=96,
+                  depths=(2, 2), num_heads=(6, 6), window_size=8)
+    hv = hat.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
+    ref = jax.jit(lambda v: hat.apply(hv, v))(xb)
+    for env, tag in (("SRTPU_STACKED_ATTN", "stacked_attn"),
+                     ("SRTPU_STRIP_HAB", "strip_hab")):
+        os.environ[env] = "1"
+        try:
+            got = jax.jit(make_fused_hat(hv, hat))(xb)
+            check(f"fused_hat_{tag}", got, ref, 0.03)
+        finally:
+            os.environ.pop(env, None)
+
+
 def _sec_flash_attn(ctx):
     # flash window attention vs the einsum reference
     from superresolution_tpu.ops.pallas_attn import flash_window_attention
@@ -234,6 +259,7 @@ SECTIONS = [
     ("fused_trunk", _sec_fused_trunk),
     ("phase_tail", _sec_phase_tail),
     ("fused_hat", _sec_fused_hat),
+    ("strip_hab", _sec_strip_hab),
     ("flash_attn", _sec_flash_attn),
     ("star_l1", _sec_star_l1),
     ("dense_train", _sec_dense_train),

@@ -147,17 +147,20 @@ def check(interpret):
 
 
 def _chain(fn, x, k):
+    # device_get a SCALAR, not the 50 MB carry: the dev tunnel moves
+    # ~1.4 MB/s, so pulling the carry adds ~36 s whose run-to-run
+    # variance swamps the marginal (the round-4 exp_r25/r26 first-run
+    # garbage: negative and 300 ms-scale "marginals").
     @jax.jit
     def run(x):
         def body(_, u):
             return fn(u)
-        return jax.lax.fori_loop(0, k, body, x)
+        return jnp.sum(jax.lax.fori_loop(0, k, body, x).astype(
+            jnp.float32))
 
-    y = run(x)
-    jax.device_get(y)
+    jax.device_get(run(x))
     t0 = time.perf_counter()
-    y = run(x)
-    jax.device_get(y)
+    jax.device_get(run(x))
     return (time.perf_counter() - t0) * 1e3
 
 

@@ -124,6 +124,32 @@ def _hab(x, hp, *, shift, ws, nh, conv_scale, interpret):
     import os
 
     b, h, w, c = x.shape
+    if os.environ.get("SRTPU_STRIP_HAB"):
+        # CAB-merged strip path (ops/pallas_hab_strip.py): the HAB body
+        # runs on SPATIAL strips with in-kernel window grouping — no
+        # partition/merge/roll/SE-apply XLA passes. The SE SCALE still
+        # needs the global mean of the CAB conv output, so the conv
+        # kernel stays a separate program.
+        from superresolution_tpu.ops.pallas_hab import (
+            cab_weights, fused_cab_convs)
+        from superresolution_tpu.ops.pallas_hab_strip import (
+            strip_hab_block)
+
+        cp = hp["ChannelAttentionBlock_0"]
+        y_cab = fused_cab_convs(x, cab_weights(hp, x.dtype),
+                                interpret=interpret).astype(x.dtype)
+        s = jnp.mean(y_cab, axis=(1, 2), keepdims=True)
+        s = jax.nn.relu(_dense(s, cp["Dense_0"]))
+        s = jax.nn.sigmoid(_dense(s, cp["Dense_1"]))
+        se = (s.astype(jnp.float32)
+              * jnp.float32(conv_scale)).reshape(b, 1, c)
+        weights = _wa_weights(hp, nh, ws, x.dtype)
+        rb_env = os.environ.get("SRTPU_STRIP_RB")  # exp_r27 rb sweep
+        return strip_hab_block(x, y_cab, se, weights, num_heads=nh,
+                               window_size=ws,
+                               shift=shift if shift else 0,
+                               rb=int(rb_env) if rb_env else None,
+                               interpret=interpret)
     if os.environ.get("SRTPU_XLA_CAB"):  # A/B lever (exp_r19)
         cab = _cab(_ln(x, hp["LayerNorm_0"]),
                    hp["ChannelAttentionBlock_0"])

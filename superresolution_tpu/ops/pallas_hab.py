@@ -79,11 +79,21 @@ def gelu_exact(x):
     return 0.5 * x * (1.0 + erf_poly(x * 0.7071067811865476))
 
 
-def _body(x, cab, w, madd_fn, *, nw, n, c, nh, scale):
+def _body(x, cab, w, madd_fn, *, nw, n, c, nh, scale, stacked=False):
     """Shared fused-block math on VMEM-resident values.
 
     x, cab: [nw*n, c] compute-dtype; w: dict of weight values;
-    madd_fn(window) -> additive [n, n] mask or None."""
+    madd_fn(window) -> additive [n, n] mask or None.
+
+    stacked=False: 2 dots per (window, head) — 12 per window at nh=6.
+    stacked=True: 2 dots per WINDOW. Heads ride the M dimension with
+    lane masks: K' = stack_h(kw*hm_h) [nh*n, c] contracted with qw on c
+    gives TRANSPOSED per-head logits [nh*n, n] in one dot (transposed so
+    the apply can contract dim 0: out = aT' . V' with V' = stack_h
+    (vw*hm_h), which is exactly the masked-V head sum). Requires
+    w["rpb"] pre-transposed to [nh*n, n] (block h = rpb[h].T) — callers
+    go through _stack_rpb. The region mask is symmetric (ids_i == ids_j)
+    so madd needs no transpose."""
     hd = c // nh
     xf = x.astype(jnp.float32)
     y = _ln(xf, w["ln1_s"], w["ln1_b"]).astype(x.dtype)
@@ -94,12 +104,37 @@ def _body(x, cab, w, madd_fn, *, nw, n, c, nh, scale):
     v = (jnp.dot(y, w["wv"], preferred_element_type=jnp.float32)
          + w["bv"]).astype(x.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+    if stacked:
+        # [nh, 1, c] lane masks, built once
+        hm3 = (jax.lax.broadcasted_iota(jnp.int32, (nh, 1, c), 2) // hd
+               == jax.lax.broadcasted_iota(jnp.int32, (nh, 1, c), 0)
+               ).astype(k.dtype)
     attn_parts = []
     for wi in range(nw):
         qw = q[wi * n:(wi + 1) * n]
         kw = k[wi * n:(wi + 1) * n]
         vw = v[wi * n:(wi + 1) * n]
         madd = madd_fn(wi)
+        if stacked:
+            kst = (kw[None] * hm3).reshape(nh * n, c)
+            vst = (vw[None] * hm3).reshape(nh * n, c)
+            lt = jax.lax.dot_general(
+                kst, qw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            lt = lt + w["rpb"]  # pre-transposed [nh*n, n]
+            if madd is not None:
+                lt = (lt.reshape(nh, n, n) + madd[None]).reshape(
+                    nh * n, n)
+            lt3 = lt.reshape(nh, n, n)
+            lt3 = lt3 - jnp.max(lt3, axis=1, keepdims=True)
+            e = jnp.exp(lt3)
+            a = (e / jnp.sum(e, axis=1, keepdims=True)).reshape(
+                nh * n, n)
+            acc = jax.lax.dot_general(
+                a.astype(vw.dtype), vst, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            attn_parts.append(acc.astype(x.dtype))
+            continue
         acc = None
         for h in range(nh):
             hm = (lane == h).astype(kw.dtype)
@@ -128,7 +163,8 @@ def _body(x, cab, w, madd_fn, *, nw, n, c, nh, scale):
     return x1 + o
 
 
-def _kernel(x_ref, cab_ref, *rest, nw, n, c, nh, scale, masked):
+def _kernel(x_ref, cab_ref, *rest, nw, n, c, nh, scale, masked,
+            stacked=False):
     if masked:
         *w_refs, ids_s_ref, ids_l_ref, out_ref = rest
     else:
@@ -143,8 +179,22 @@ def _kernel(x_ref, cab_ref, *rest, nw, n, c, nh, scale, masked):
         return jnp.where(ids_s_ref[wi] == ids_l_ref[wi],
                          jnp.float32(0.0), jnp.float32(_NEG))
 
-    out = _body(x, cab, w, madd_fn, nw=nw, n=n, c=c, nh=nh, scale=scale)
+    out = _body(x, cab, w, madd_fn, nw=nw, n=n, c=c, nh=nh, scale=scale,
+                stacked=stacked)
     out_ref[:] = out.reshape(nw, n, c)
+
+
+def _stack_rpb(rpb, nh, n):
+    """[nh, n, n] rel-pos bias -> the stacked _body's transposed
+    [nh*n, n] layout (block h = rpb[h].T)."""
+    return jnp.transpose(jnp.asarray(rpb, jnp.float32),
+                         (0, 2, 1)).reshape(nh * n, n)
+
+
+def stacked_attn_default() -> bool:
+    import os
+
+    return os.environ.get("SRTPU_STACKED_ATTN", "0") == "1"
 
 
 def reference_hab_body(x_wins, cab_wins, weights, num_heads,
@@ -228,14 +278,19 @@ def _fused_fwd_impl(x_wins, cab_wins, num_heads, interpret, weights,
         return pl.BlockSpec(shape, lambda i: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    stacked = stacked_attn_default()
     w_shapes = {
         "ln1_s": (1, c), "ln1_b": (1, c),
         "wq": (c, c), "wk": (c, c), "wv": (c, c),
         "bq": (1, c), "bk": (1, c), "bv": (1, c),
-        "rpb": (nh, n, n), "wp": (c, c), "bp": (1, c),
+        "rpb": (nh * n, n) if stacked else (nh, n, n),
+        "wp": (c, c), "bp": (1, c),
         "ln2_s": (1, c), "ln2_b": (1, c),
         "w1": (c, mlp), "b1": (1, mlp), "w2": (mlp, c), "b2": (1, c),
     }
+    weights = dict(weights)
+    if stacked:
+        weights["rpb"] = _stack_rpb(weights["rpb"], nh, n)
     w_vals = [weights[k].reshape(w_shapes[k]) for k in WEIGHT_NAMES]
     w_specs = [const(w_shapes[k]) for k in WEIGHT_NAMES]
     out_shape = jax.ShapeDtypeStruct(x_wins.shape, x_wins.dtype)
@@ -253,7 +308,7 @@ def _fused_fwd_impl(x_wins, cab_wins, num_heads, interpret, weights,
                          memory_space=pltpu.VMEM)]
     return pl.pallas_call(
         partial(_kernel, nw=nw, n=n, c=c, nh=nh, scale=scale,
-                masked=masked),
+                masked=masked, stacked=stacked),
         grid=(nb // nw,),
         in_specs=[xspec, xspec] + w_specs + extra_specs,
         out_specs=xspec,

@@ -28,6 +28,116 @@ def test_fused_hat_matches_apply(compat):
                                atol=2e-5, rtol=2e-4)
 
 
+def test_fused_hat_stacked_attn_matches_apply(monkeypatch):
+    """SRTPU_STACKED_ATTN=1 (2 dots/window, heads on M with lane masks,
+    transposed logits) must be apply-equivalent like the loop form."""
+    monkeypatch.setenv("SRTPU_STACKED_ATTN", "1")
+    model = HATLite(**KW, upsample_feat=8)
+    x = jax.random.normal(jax.random.key(0), (2, 12, 16, 1), jnp.float32)
+    variables = model.init(jax.random.key(1), x)
+    ref = model.apply(variables, x)
+    got = make_fused_hat(variables, model)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_fused_hat_strip_matches_apply(monkeypatch):
+    """SRTPU_STRIP_HAB=1 (spatial-strip kernel, CAB merged, in-kernel
+    window grouping + shift masks) must be apply-equivalent."""
+    monkeypatch.setenv("SRTPU_STRIP_HAB", "1")
+    model = HATLite(**KW, upsample_feat=8)
+    x = jax.random.normal(jax.random.key(0), (2, 12, 16, 1), jnp.float32)
+    variables = model.init(jax.random.key(1), x)
+    ref = model.apply(variables, x)
+    got = make_fused_hat(variables, model)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_strip_hab_block_matches_windowed():
+    """strip_hab_block == roll -> window_partition -> reference body ->
+    window_merge -> roll back, for both shifts and several row blocks
+    (exercises wrap halos and the iota-computed region masks)."""
+    from superresolution_tpu.models.hat_lite import (
+        _shift_region_ids,
+        window_merge,
+        window_partition,
+    )
+    from superresolution_tpu.ops.pallas_hab import reference_hab_body
+    from superresolution_tpu.ops.pallas_hab_strip import strip_hab_block
+
+    rng = np.random.default_rng(1)
+    b, h, wd, c, nh, ws, mlp = 2, 16, 24, 12, 3, 4, 24
+    n = ws * ws
+    x = jnp.asarray(rng.standard_normal((b, h, wd, c)) * 0.5, jnp.float32)
+    cab_y = jnp.asarray(rng.standard_normal((b, h, wd, c)) * 0.3,
+                        jnp.float32)
+    se = jnp.asarray(rng.uniform(0.2, 0.9, (b, 1, c)), jnp.float32)
+    shapes = {
+        "ln1_s": (1, c), "ln1_b": (1, c), "wq": (c, c), "wk": (c, c),
+        "wv": (c, c), "bq": (1, c), "bk": (1, c), "bv": (1, c),
+        "rpb": (nh, n, n), "wp": (c, c), "bp": (1, c), "ln2_s": (1, c),
+        "ln2_b": (1, c), "w1": (c, mlp), "b1": (1, mlp), "w2": (mlp, c),
+        "b2": (1, c),
+    }
+    w = {k: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+         for k, s in shapes.items()}
+    cab_full = cab_y * se.reshape(b, 1, 1, c)
+    for shift in (0, ws // 2):
+        if shift:
+            xs = jnp.roll(x, (-shift, -shift), (1, 2))
+            cs = jnp.roll(cab_full, (-shift, -shift), (1, 2))
+            ids = jnp.asarray(_shift_region_ids(h, wd, ws, shift))
+        else:
+            xs, cs, ids = x, cab_full, None
+        ref = reference_hab_body(window_partition(xs, ws),
+                                 window_partition(cs, ws), w, nh,
+                                 region_ids=ids)
+        ref = window_merge(ref, ws, (h, wd))
+        if shift:
+            ref = jnp.roll(ref, (shift, shift), (1, 2))
+        for rb in (ws, 8):
+            got = strip_hab_block(x, cab_y, se, w, num_heads=nh,
+                                  window_size=ws, shift=shift,
+                                  interpret=True, rb=rb)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-4,
+                                       err_msg=f"shift={shift} rb={rb}")
+
+
+def test_fused_hab_block_stacked_masked(monkeypatch):
+    """Stacked vs loop attention on the same weights, WITH region-id
+    masks (the shifted-window case: exercises the symmetric-madd and
+    transposed-rpb paths)."""
+    from superresolution_tpu.ops.pallas_hab import (
+        fused_hab_block,
+        reference_hab_body,
+    )
+
+    rng = np.random.default_rng(3)
+    nb, n, c, nh, mlp = 8, 16, 12, 3, 24
+    x = jnp.asarray(rng.standard_normal((nb, n, c)), jnp.float32)
+    cab = jnp.asarray(rng.standard_normal((nb, n, c)) * 0.01, jnp.float32)
+    f32 = {"ln1_s", "ln1_b", "bq", "bk", "bv", "rpb", "bp", "ln2_s",
+           "ln2_b", "b1", "b2"}
+    shapes = {
+        "ln1_s": (1, c), "ln1_b": (1, c), "wq": (c, c), "wk": (c, c),
+        "wv": (c, c), "bq": (1, c), "bk": (1, c), "bv": (1, c),
+        "rpb": (nh, n, n), "wp": (c, c), "bp": (1, c), "ln2_s": (1, c),
+        "ln2_b": (1, c), "w1": (c, mlp), "b1": (1, mlp), "w2": (mlp, c),
+        "b2": (1, c),
+    }
+    del f32
+    w = {k: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+         for k, s in shapes.items()}
+    ids = jnp.asarray(rng.integers(0, 3, (4, n)), jnp.int32)
+    ref = reference_hab_body(x, cab, w, nh, region_ids=ids)
+    monkeypatch.setenv("SRTPU_STACKED_ATTN", "1")
+    got = fused_hab_block(x, cab, nh, True, w, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
 def test_fused_hat_rejects_non_scan_layouts():
     model = HATLite(**{**KW, "depths": (2, 3), "num_heads": (3, 3)})
     x = jnp.zeros((1, 8, 8, 1), jnp.float32)
