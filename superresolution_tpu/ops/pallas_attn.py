@@ -79,54 +79,111 @@ def reference_window_attention(q, k, v, bias, region_ids=None,
     return out.transpose(0, 2, 1, 3).reshape(nb, n, c)
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, nw, nh, scale):
+def _attn_window(qw, kw, vw, bias, madd, *, nh, scale, stacked, hm3,
+                 lane, hd):
+    """One window's packed-head attention on VMEM values.
+
+    qw [n, c], kw/vw [m, c]; bias is bias_ref[h]-indexable [nh, n, m]
+    when stacked=False, or the pre-stacked TRANSPOSED [nh*m, n] layout
+    (block h = bias[h].T, see _stack_bias) when stacked=True.
+
+    stacked=False: 2 dots per head (masked-K / masked-V trick).
+    stacked=True: 2 dots per WINDOW — K' = stack_h(kw*hm_h) [nh*m, c]
+    contracted with qw over c gives transposed per-head logits
+    [nh*m, n] in one dot; out = A'^T-contract V' with V' = stack_h
+    (vw*hm_h), which is exactly the masked-V head sum. Same layout as
+    ops/pallas_hab._body(stacked=True) — exp_r26/r27 measured it 17%
+    faster per kernel, +8.2% e2e hybrid. The region mask is symmetric
+    (only used when m == n) so madd needs no transpose."""
+    m_len = kw.shape[0]
+    if stacked:
+        kst = (kw[None] * hm3).reshape(nh * m_len, -1)
+        vst = (vw[None] * hm3).reshape(nh * m_len, -1)
+        lt = jax.lax.dot_general(
+            kst, qw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        lt = lt + bias  # pre-transposed [nh*m, n]
+        lt3 = lt.reshape(nh, m_len, qw.shape[0])
+        if madd is not None:
+            lt3 = lt3 + madd[None]
+        lt3 = lt3 - jnp.max(lt3, axis=1, keepdims=True)
+        e = jnp.exp(lt3)
+        a = (e / jnp.sum(e, axis=1, keepdims=True)).reshape(
+            nh * m_len, qw.shape[0])
+        return jax.lax.dot_general(
+            a.astype(vw.dtype), vst, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc = None
+    for h in range(nh):
+        hm = (lane == h).astype(kw.dtype)
+        logits = jax.lax.dot_general(
+            qw, kw * hm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = logits + bias[h]
+        if madd is not None:
+            logits = logits + madd
+        a = jax.nn.softmax(logits, axis=-1)
+        part = jax.lax.dot_general(
+            a.astype(vw.dtype), vw * hm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _head_masks(nh, c, hd, dtype, stacked):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+    hm3 = None
+    if stacked:
+        hm3 = (jax.lax.broadcasted_iota(jnp.int32, (nh, 1, c), 2) // hd
+               == jax.lax.broadcasted_iota(jnp.int32, (nh, 1, c), 0)
+               ).astype(dtype)
+    return lane, hm3
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, nw, nh, scale,
+            stacked=False):
     c = q_ref.shape[2]
     hd = c // nh
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+    lane, hm3 = _head_masks(nh, c, hd, k_ref.dtype, stacked)
+    bias = bias_ref[:] if stacked else bias_ref
     for w in range(nw):
-        qw = q_ref[w]
-        kw = k_ref[w]
-        vw = v_ref[w]
-        acc = None
-        for h in range(nh):
-            m = (lane == h).astype(kw.dtype)
-            logits = jax.lax.dot_general(
-                qw, kw * m, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            logits = logits + bias_ref[h]
-            a = jax.nn.softmax(logits, axis=-1)
-            part = jax.lax.dot_general(
-                a.astype(vw.dtype), vw * m, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
+        acc = _attn_window(q_ref[w], k_ref[w], v_ref[w], bias, None,
+                           nh=nh, scale=scale, stacked=stacked, hm3=hm3,
+                           lane=lane, hd=hd)
         out_ref[w] = acc.astype(out_ref.dtype)
 
 
 def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, ids_s_ref, ids_l_ref,
-                   out_ref, *, nw, nh, scale):
+                   out_ref, *, nw, nh, scale, stacked=False):
     c = q_ref.shape[2]
     hd = c // nh
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+    lane, hm3 = _head_masks(nh, c, hd, k_ref.dtype, stacked)
+    bias = bias_ref[:] if stacked else bias_ref
     for w in range(nw):
-        qw = q_ref[w]
-        kw = k_ref[w]
-        vw = v_ref[w]
-        # Swin shift mask rebuilt in VMEM: [n,1] ids vs [1,n] ids
+        # Swin shift mask rebuilt in VMEM: [n,1] ids vs [1,n] ids.
+        # Symmetric, so valid in both the plain and transposed layouts.
         madd = jnp.where(ids_s_ref[w] == ids_l_ref[w],
                          jnp.float32(0.0), jnp.float32(_NEG))
-        acc = None
-        for h in range(nh):
-            m = (lane == h).astype(kw.dtype)
-            logits = jax.lax.dot_general(
-                qw, kw * m, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            logits = logits + bias_ref[h] + madd
-            a = jax.nn.softmax(logits, axis=-1)
-            part = jax.lax.dot_general(
-                a.astype(vw.dtype), vw * m, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
+        acc = _attn_window(q_ref[w], k_ref[w], v_ref[w], bias, madd,
+                           nh=nh, scale=scale, stacked=stacked, hm3=hm3,
+                           lane=lane, hd=hd)
         out_ref[w] = acc.astype(out_ref.dtype)
+
+
+def _stack_bias(bias, nh, n, m):
+    """[nh, n, m] bias -> the stacked transposed [nh*m, n] layout
+    (block h = bias[h].T)."""
+    return jnp.transpose(jnp.asarray(bias, jnp.float32),
+                         (0, 2, 1)).reshape(nh * m, n)
+
+
+def stacked_flash_default() -> bool:
+    """Stacked-head layout for the flash (OCAB / flash-attn) kernel.
+    Off by default pending the exp_r28 chip A/B; SRTPU_STACKED_FLASH=1
+    enables."""
+    import os
+
+    return os.environ.get("SRTPU_STACKED_FLASH", "0") == "1"
 
 
 def _pick_block(n_windows: int, prefer: int = 16) -> int:
@@ -168,12 +225,18 @@ def _flash_fwd_impl(q, k, v, bias, num_heads, interpret, region_ids):
                           memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((nw, m, c), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((nh, n, m), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
+    stacked = stacked_flash_default()
+    if stacked:
+        bias = _stack_bias(bias, nh, n, m)
+        bias_spec = pl.BlockSpec((nh * m, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        bias_spec = pl.BlockSpec((nh, n, m), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
     if region_ids is None:
         return pl.pallas_call(
-            partial(_kernel, nw=nw, nh=nh, scale=scale),
+            partial(_kernel, nw=nw, nh=nh, scale=scale, stacked=stacked),
             grid=(nb // nw,),
             in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
             out_specs=q_spec,
@@ -191,7 +254,8 @@ def _flash_fwd_impl(q, k, v, bias, num_heads, interpret, region_ids):
     ids_l_spec = pl.BlockSpec((nw, 1, n), lambda i: (i % blocks, 0, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_kernel_masked, nw=nw, nh=nh, scale=scale),
+        partial(_kernel_masked, nw=nw, nh=nh, scale=scale,
+                stacked=stacked),
         grid=(nb // nw,),
         in_specs=[q_spec, kv_spec, kv_spec, bias_spec, ids_s_spec,
                   ids_l_spec],

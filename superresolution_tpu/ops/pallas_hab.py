@@ -192,9 +192,15 @@ def _stack_rpb(rpb, nh, n):
 
 
 def stacked_attn_default() -> bool:
+    """Stacked-head attention layout (2 MXU dots per window, heads on
+    the M dim) — DEFAULT since round 4: exp_r26 measured 3.63->3.01 ms
+    (plain) / 3.19->2.73 ms (masked) marginal per 12-HAB chain and
+    exp_r27 measured the e2e hybrid 0.2745->0.2969 MP/s (+8.2%);
+    chip-equivalence `fused_hat_stacked_attn` rel 1.5e-2 (bf16). Set
+    SRTPU_STACKED_ATTN=0 to fall back to the per-head loop."""
     import os
 
-    return os.environ.get("SRTPU_STACKED_ATTN", "0") == "1"
+    return os.environ.get("SRTPU_STACKED_ATTN", "1") == "1"
 
 
 def reference_hab_body(x_wins, cab_wins, weights, num_heads,

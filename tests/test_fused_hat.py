@@ -16,7 +16,10 @@ KW = dict(scale=2, in_channels=1, out_channels=1, embed_dim=12,
 
 
 @pytest.mark.parametrize("compat", [False, True])
-def test_fused_hat_matches_apply(compat):
+def test_fused_hat_matches_apply(compat, monkeypatch):
+    """Per-head-loop attention form (SRTPU_STACKED_ATTN=0; stacked is
+    the default since round 4, covered by the test below)."""
+    monkeypatch.setenv("SRTPU_STACKED_ATTN", "0")
     model = HATLite(**KW, hat_compat=compat, upsample_feat=8)
     x = jax.random.normal(jax.random.key(0), (2, 12, 16, 1), jnp.float32)
     variables = model.init(jax.random.key(1), x)

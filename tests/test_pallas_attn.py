@@ -146,3 +146,33 @@ def test_hatlite_flash_oca_auto_at_ws16():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(yc), np.asarray(ya),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_stacked_matches_reference(monkeypatch):
+    """SRTPU_STACKED_FLASH=1 (2 dots/window, heads on M, transposed
+    logits + pre-stacked bias) — self-attention, plain and masked."""
+    monkeypatch.setenv("SRTPU_STACKED_FLASH", "1")
+    q, k, v, bias, ids = _inputs()
+    ref = reference_window_attention(q, k, v, bias)
+    got = flash_window_attention(q, k, v, bias, 3, True, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    ref_m = reference_window_attention(q, k, v, bias, region_ids=ids)
+    got_m = flash_window_attention(q, k, v, bias, 3, True, ids)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_stacked_cross_attention(monkeypatch):
+    """Stacked form at the OCAB cross-attention geometry (m > n)."""
+    monkeypatch.setenv("SRTPU_STACKED_FLASH", "1")
+    nb, n, m, c, nh = 8, 16, 36, 12, 3
+    ks = jax.random.split(jax.random.key(7), 4)
+    q = jax.random.normal(ks[0], (nb, n, c))
+    k = jax.random.normal(ks[1], (nb, m, c))
+    v = jax.random.normal(ks[2], (nb, m, c))
+    bias = jax.random.normal(ks[3], (nh, n, m), jnp.float32) * 0.1
+    ref = reference_window_attention(q, k, v, bias)
+    got = flash_window_attention(q, k, v, bias, nh, True, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
