@@ -150,7 +150,8 @@ def _sec_strip_hab(ctx):
     hv = hat.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
     ref = jax.jit(lambda v: hat.apply(hv, v))(xb)
     for env, tag in (("SRTPU_STACKED_ATTN", "stacked_attn"),
-                     ("SRTPU_STRIP_HAB", "strip_hab")):
+                     ("SRTPU_STRIP_HAB", "strip_hab"),
+                     ("SRTPU_LANE_PAD", "lane_pad")):
         os.environ[env] = "1"
         try:
             got = jax.jit(make_fused_hat(hv, hat))(xb)
@@ -181,6 +182,29 @@ def _sec_flash_attn(ctx):
     got = jax.jit(lambda a, b_, c_, d: flash_window_attention(
         a, b_, c_, d, nh, False, None))(q, k, v, bias)
     check("flash_window_attention", got, ref, 1e-4)
+
+    # stacked-head form, at the OCAB cross-attention geometry (m > n)
+    import os
+
+    m = 144
+    kx = jax.random.normal(ks[1], (nb, m, c), jnp.float32)
+    vx = jax.random.normal(ks[2], (nb, m, c), jnp.float32)
+    bx = jax.random.normal(ks[3], (nh, n, m), jnp.float32) * 0.1
+    from superresolution_tpu.ops.pallas_attn import (
+        reference_window_attention)
+
+    refx = reference_window_attention(q, kx, vx, bx)
+    prev = os.environ.get("SRTPU_STACKED_FLASH")
+    os.environ["SRTPU_STACKED_FLASH"] = "1"
+    try:
+        gotx = jax.jit(lambda a, b_, c_, d: flash_window_attention(
+            a, b_, c_, d, nh, False, None))(q, kx, vx, bx)
+    finally:
+        if prev is None:
+            os.environ.pop("SRTPU_STACKED_FLASH", None)
+        else:
+            os.environ["SRTPU_STACKED_FLASH"] = prev
+    check("flash_oca_stacked", gotx, refx, 1e-4)
 
 
 def _sec_star_l1(ctx):

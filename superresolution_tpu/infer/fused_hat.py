@@ -47,10 +47,19 @@ def _dense(x, dp):
     return (y + jnp.asarray(dp["bias"], jnp.float32)).astype(x.dtype)
 
 
-def _ln(x, lp):
+def _ln(x, lp, c_real=None):
+    """LayerNorm; c_real averages stats over the real channels only
+    when the lane dim is zero-padded (infer/lane_pad.py)."""
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    if c_real is None or c_real == xf.shape[-1]:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = (jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+               - jnp.square(mu))
+    else:
+        inv = 1.0 / c_real
+        mu = jnp.sum(xf, axis=-1, keepdims=True) * inv
+        var = (jnp.sum(jnp.square(xf), axis=-1, keepdims=True) * inv
+               - jnp.square(mu))
     y = (xf - mu) * jax.lax.rsqrt(var + _EPS)
     return (y * jnp.asarray(lp["scale"], jnp.float32)
             + jnp.asarray(lp["bias"], jnp.float32)).astype(x.dtype)
@@ -72,7 +81,7 @@ def _cab(x, cp):
     return _se_scale(y, cp)
 
 
-def _cab_fused(x, hp, interpret):
+def _cab_fused(x, hp, interpret, c_real=None):
     """LN + the CAB conv stack as ONE Pallas program
     (ops/pallas_hab.fused_cab_convs) + the XLA squeeze-excite tail.
     Measured 1.377 vs 1.545 ms for the XLA stack at [4,256,256,96]
@@ -82,7 +91,8 @@ def _cab_fused(x, hp, interpret):
     from superresolution_tpu.ops.pallas_hab import (
         cab_weights, fused_cab_convs)
 
-    y = fused_cab_convs(x, cab_weights(hp, x.dtype), interpret=interpret)
+    y = fused_cab_convs(x, cab_weights(hp, x.dtype), interpret=interpret,
+                        c_real=c_real)
     return _se_scale(y.astype(x.dtype), hp["ChannelAttentionBlock_0"])
 
 
@@ -120,11 +130,11 @@ def _wa_weights(hp, nh, ws, dtype):
     }
 
 
-def _hab(x, hp, *, shift, ws, nh, conv_scale, interpret):
+def _hab(x, hp, *, shift, ws, nh, conv_scale, interpret, c_real=None):
     import os
 
     b, h, w, c = x.shape
-    if os.environ.get("SRTPU_STRIP_HAB"):
+    if os.environ.get("SRTPU_STRIP_HAB") and c_real is None:
         # CAB-merged strip path (ops/pallas_hab_strip.py): the HAB body
         # runs on SPATIAL strips with in-kernel window grouping — no
         # partition/merge/roll/SE-apply XLA passes. The SE SCALE still
@@ -151,10 +161,10 @@ def _hab(x, hp, *, shift, ws, nh, conv_scale, interpret):
                                rb=int(rb_env) if rb_env else None,
                                interpret=interpret)
     if os.environ.get("SRTPU_XLA_CAB"):  # A/B lever (exp_r19)
-        cab = _cab(_ln(x, hp["LayerNorm_0"]),
+        cab = _cab(_ln(x, hp["LayerNorm_0"], c_real),
                    hp["ChannelAttentionBlock_0"])
     else:
-        cab = _cab_fused(x, hp, interpret)
+        cab = _cab_fused(x, hp, interpret, c_real)
     cab = cab * jnp.asarray(conv_scale, x.dtype)
     if shift:
         xs = jnp.roll(x, (-shift, -shift), axis=(1, 2))
@@ -165,15 +175,23 @@ def _hab(x, hp, *, shift, ws, nh, conv_scale, interpret):
     x_wins = window_partition(xs, ws)
     cab_wins = window_partition(cabs, ws)
     weights = _wa_weights(hp, nh, ws, x.dtype)
-    out_wins = fused_hab_block(x_wins, cab_wins, nh, interpret, weights,
-                               ids)
+    if c_real is not None:
+        from superresolution_tpu.ops.pallas_hab import (
+            fused_hab_block_inference)
+
+        out_wins = fused_hab_block_inference(x_wins, cab_wins, nh,
+                                             interpret, weights, ids,
+                                             c_real=c_real)
+    else:
+        out_wins = fused_hab_block(x_wins, cab_wins, nh, interpret,
+                                   weights, ids)
     out = window_merge(out_wins, ws, (h, w))
     if shift:
         out = jnp.roll(out, (shift, shift), axis=(1, 2))
     return out
 
 
-def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb):
+def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb, c_real=None):
     """OverlappingCrossAttention on raw params via the flash
     cross-attention kernel at every window size (trusted re-measure:
     +11% e2e at ws=8, +4.1% at ws=16 — BENCHMARKS.md r3);
@@ -182,7 +200,7 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb):
     ows = int(ws * (1 + overlap_ratio))
     pad = (ows - ws) // 2
     hd = c // nh
-    y = _ln(x, op["LayerNorm_0"])
+    y = _ln(x, op["LayerNorm_0"], c_real)
     q = window_partition(y, ws)
     kv = _dense(y, op["Dense_0"])
     kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
@@ -228,7 +246,7 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb):
     out = _dense(out, op["Dense_2"])
     y = window_merge(out, ws, (h, w))
     x = x + y
-    z = _ln(x, op["LayerNorm_1"])
+    z = _ln(x, op["LayerNorm_1"], c_real)
     z = _dense(z, op["Dense_3"])
     z = jax.nn.gelu(z, approximate=False).astype(x.dtype)
     return x + _dense(z, op["Dense_4"])
@@ -253,6 +271,26 @@ def make_fused_hat(variables, model: HATLite):
     compat = model.hat_compat
     scale = model.scale
 
+    # pad-to-full-lane deploy transform (SRTPU_LANE_PAD=1): run the
+    # whole stage in a 128-lane embedding space — 96-lane tensors ride
+    # HBM at ~75% of the 128-lane rate (exp_r29). Zero-padded weights
+    # keep the math exactly the 96-channel model's; the kernels' LNs
+    # take c_real. SRTPU_LANE_PAD_TO overrides the target width (tests
+    # use small dims).
+    import os
+
+    c_real = None
+    if os.environ.get("SRTPU_LANE_PAD"):
+        from superresolution_tpu.infer.lane_pad import (
+            lane_pad_supported, pad_hat_params)
+
+        c_model = int(jnp.asarray(
+            p["Conv_0"]["Conv_0"]["kernel"]).shape[-1])
+        c_pad = int(os.environ.get("SRTPU_LANE_PAD_TO", "128"))
+        if lane_pad_supported(c_model, nh, c_pad):
+            p, nh = pad_hat_params(p, model, c_pad)
+            c_real = c_model
+
     def apply_fn(x):
         interpret = jax.default_backend() != "tpu"
         b, h0, w0, _ = x.shape
@@ -263,7 +301,7 @@ def make_fused_hat(variables, model: HATLite):
         feat = _conv(x, p["Conv_0"]["Conv_0"])
         y = feat
         if compat:
-            y = _ln(y, p["norm_embed"])
+            y = _ln(y, p["norm_embed"], c_real)
 
         def group_body(y, gp_s):
             gp = gp_s["ResidualGroup_0"]
@@ -271,19 +309,22 @@ def make_fused_hat(variables, model: HATLite):
 
             def pair_body(y, pp):
                 y = _hab(y, pp["HABlock_0"], shift=0, ws=ws, nh=nh,
-                         conv_scale=conv_scale, interpret=interpret)
+                         conv_scale=conv_scale, interpret=interpret,
+                         c_real=c_real)
                 y = _hab(y, pp["HABlock_1"], shift=ws // 2, ws=ws, nh=nh,
-                         conv_scale=conv_scale, interpret=interpret)
+                         conv_scale=conv_scale, interpret=interpret,
+                         c_real=c_real)
                 return y, None
 
             y, _ = jax.lax.scan(pair_body, y, gp["hab_pairs"])
             y = _ocab(y, gp["OverlappingCrossAttention_0"], ws=ws, nh=nh,
-                      overlap_ratio=overlap, use_rpb=compat)
+                      overlap_ratio=overlap, use_rpb=compat,
+                      c_real=c_real)
             return y0 + _conv(y, gp["Conv_0"]["Conv_0"]), None
 
         y, _ = jax.lax.scan(group_body, y, p["groups"])
         if compat:
-            y = _ln(y, p["norm_body"])
+            y = _ln(y, p["norm_body"], c_real)
         y = _conv(y, p["Conv_1"]["Conv_0"]) + feat
         if compat:
             y = _conv(y, p["conv_before_upsample"]["Conv_0"])

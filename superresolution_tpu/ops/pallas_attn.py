@@ -179,8 +179,12 @@ def _stack_bias(bias, nh, n, m):
 
 def stacked_flash_default() -> bool:
     """Stacked-head layout for the flash (OCAB / flash-attn) kernel.
-    Off by default pending the exp_r28 chip A/B; SRTPU_STACKED_FLASH=1
-    enables."""
+    MEASURED WASH e2e (exp_r28, two runs: 219.8/219.6 loop vs
+    218.9/220.4 stacked ms/batch on the flagship hybrid — the OCAB's
+    cost is dominated by the kv gather + XLA glue, not the attention
+    dots, so the HAB kernel's stacked win does not transfer). Stays
+    off by default; SRTPU_STACKED_FLASH=1 enables (chip-equivalent,
+    chipeq `flash_oca_stacked`)."""
     import os
 
     return os.environ.get("SRTPU_STACKED_FLASH", "0") == "1"

@@ -57,9 +57,21 @@ WEIGHT_NAMES = ("ln1_s", "ln1_b", "wq", "wk", "wv", "bq", "bk", "bv",
                 "b2")
 
 
-def _ln(xf, s, b):
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+def _ln(xf, s, b, c_real=None):
+    """LayerNorm over the last axis. c_real: when the lane dim is
+    zero-PADDED past the model's true channel count (the pad-to-128
+    deploy transform, infer/lane_pad.py), statistics must average over
+    the REAL channels only — pad lanes are zero, so the sums are
+    unchanged and only the divisor differs."""
+    if c_real is None or c_real == xf.shape[-1]:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = (jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+               - jnp.square(mu))
+    else:
+        inv = 1.0 / c_real
+        mu = jnp.sum(xf, axis=-1, keepdims=True) * inv
+        var = (jnp.sum(jnp.square(xf), axis=-1, keepdims=True) * inv
+               - jnp.square(mu))
     return (xf - mu) * jax.lax.rsqrt(var + _EPS) * s + b
 
 
@@ -79,7 +91,8 @@ def gelu_exact(x):
     return 0.5 * x * (1.0 + erf_poly(x * 0.7071067811865476))
 
 
-def _body(x, cab, w, madd_fn, *, nw, n, c, nh, scale, stacked=False):
+def _body(x, cab, w, madd_fn, *, nw, n, c, nh, scale, stacked=False,
+          c_real=None):
     """Shared fused-block math on VMEM-resident values.
 
     x, cab: [nw*n, c] compute-dtype; w: dict of weight values;
@@ -96,7 +109,7 @@ def _body(x, cab, w, madd_fn, *, nw, n, c, nh, scale, stacked=False):
     so madd needs no transpose."""
     hd = c // nh
     xf = x.astype(jnp.float32)
-    y = _ln(xf, w["ln1_s"], w["ln1_b"]).astype(x.dtype)
+    y = _ln(xf, w["ln1_s"], w["ln1_b"], c_real).astype(x.dtype)
     q = (jnp.dot(y, w["wq"], preferred_element_type=jnp.float32)
          + w["bq"]).astype(x.dtype)
     k = (jnp.dot(y, w["wk"], preferred_element_type=jnp.float32)
@@ -154,7 +167,8 @@ def _body(x, cab, w, madd_fn, *, nw, n, c, nh, scale, stacked=False):
     proj = (jnp.dot(attn, w["wp"], preferred_element_type=jnp.float32)
             + w["bp"]).astype(x.dtype)
     x1 = x + proj + cab
-    z = _ln(x1.astype(jnp.float32), w["ln2_s"], w["ln2_b"]).astype(x.dtype)
+    z = _ln(x1.astype(jnp.float32), w["ln2_s"], w["ln2_b"],
+            c_real).astype(x.dtype)
     h1 = (jnp.dot(z, w["w1"], preferred_element_type=jnp.float32)
           + w["b1"])
     h1 = gelu_exact(h1).astype(x.dtype)
@@ -164,7 +178,7 @@ def _body(x, cab, w, madd_fn, *, nw, n, c, nh, scale, stacked=False):
 
 
 def _kernel(x_ref, cab_ref, *rest, nw, n, c, nh, scale, masked,
-            stacked=False):
+            stacked=False, c_real=None):
     if masked:
         *w_refs, ids_s_ref, ids_l_ref, out_ref = rest
     else:
@@ -180,7 +194,7 @@ def _kernel(x_ref, cab_ref, *rest, nw, n, c, nh, scale, masked,
                          jnp.float32(0.0), jnp.float32(_NEG))
 
     out = _body(x, cab, w, madd_fn, nw=nw, n=n, c=c, nh=nh, scale=scale,
-                stacked=stacked)
+                stacked=stacked, c_real=c_real)
     out_ref[:] = out.reshape(nw, n, c)
 
 
@@ -261,8 +275,18 @@ def fused_hab_block(x_wins, cab_wins, num_heads, interpret, weights,
                            weights, region_ids)
 
 
+def fused_hab_block_inference(x_wins, cab_wins, num_heads, interpret,
+                              weights, region_ids, c_real=None):
+    """Plain (non-custom_vjp) fused HAB block for the deploy path —
+    identical to fused_hab_block but with c_real LayerNorm support for
+    the pad-to-128 lane transform (infer/lane_pad.py). Inference only:
+    no backward rule."""
+    return _fused_fwd_impl(x_wins, cab_wins, num_heads, interpret,
+                           weights, region_ids, c_real=c_real)
+
+
 def _fused_fwd_impl(x_wins, cab_wins, num_heads, interpret, weights,
-                    region_ids):
+                    region_ids, c_real=None):
     nb, n, c = x_wins.shape
     nh = num_heads
     if c % nh:
@@ -314,7 +338,7 @@ def _fused_fwd_impl(x_wins, cab_wins, num_heads, interpret, weights,
                          memory_space=pltpu.VMEM)]
     return pl.pallas_call(
         partial(_kernel, nw=nw, n=n, c=c, nh=nh, scale=scale,
-                masked=masked, stacked=stacked),
+                masked=masked, stacked=stacked, c_real=c_real),
         grid=(nb // nw,),
         in_specs=[xspec, xspec] + w_specs + extra_specs,
         out_specs=xspec,
@@ -386,7 +410,7 @@ def cab_weights(hp, dtype=jnp.bfloat16):
 
 def _cab_kernel(top_ref, mid_ref, bot_ref, ln_s, ln_b,
                 a1, b1, c1, bias1, a2, b2, c2, bias2, out_ref,
-                *, rb, w_img, wp, nb, h_img, c):
+                *, rb, w_img, wp, nb, h_img, c, c_real=None):
     halo = 2
     row_start = (pl.program_id(0) % nb) * rb
     pad_r = wp - w_img - _CAB_PAD
@@ -427,7 +451,7 @@ def _cab_kernel(top_ref, mid_ref, bot_ref, ln_s, ln_b,
         acc = acc + pltpu.roll(pc, mo - 1, 0)
         return mask(acc, k)
 
-    ln = _ln(xf.astype(jnp.float32), ln_s[:], ln_b[:])
+    ln = _ln(xf.astype(jnp.float32), ln_s[:], ln_b[:], c_real)
     ln = mask(ln, 0).astype(xf.dtype)
     h1 = rconv(ln, a1, b1, c1, bias1, 1)
     h1 = gelu_exact(h1).astype(xf.dtype)
@@ -435,7 +459,7 @@ def _cab_kernel(top_ref, mid_ref, bot_ref, ln_s, ln_b,
     out_ref[0] = h2.reshape(rb, wp, c)
 
 
-def fused_cab_convs(x, weights, interpret=False, rb=None):
+def fused_cab_convs(x, weights, interpret=False, rb=None, c_real=None):
     """LN + the CAB conv stack on x [B, H, W, C]; returns the pre-SE
     tensor [B, H, W, C]. W-padding happens IN-KERNEL (zero concat)."""
     b, h, w_img, c = x.shape
@@ -455,7 +479,7 @@ def fused_cab_convs(x, weights, interpret=False, rb=None):
 
     out = pl.pallas_call(
         partial(_cab_kernel, rb=rb, w_img=w_img, wp=wp, nb=nb, h_img=h,
-                c=c),
+                c=c, c_real=c_real),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         grid=(b * nb,),

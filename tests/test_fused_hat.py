@@ -276,3 +276,33 @@ def test_fused_cab_convs_pair_matches_reference(h, w, c):
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_fused_hat_lane_pad_matches_apply(monkeypatch):
+    """SRTPU_LANE_PAD=1 (pad-to-full-lane deploy transform,
+    infer/lane_pad.py): zero-padded weights + head padding + c_real
+    LayerNorms must be apply-equivalent. Small dims: C 12 -> 16,
+    heads 3 -> 4 (hd 4)."""
+    monkeypatch.setenv("SRTPU_LANE_PAD", "1")
+    monkeypatch.setenv("SRTPU_LANE_PAD_TO", "16")
+    model = HATLite(**KW, upsample_feat=8)
+    x = jax.random.normal(jax.random.key(0), (2, 12, 16, 1), jnp.float32)
+    variables = model.init(jax.random.key(1), x)
+    ref = model.apply(variables, x)
+    got = make_fused_hat(variables, model)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_fused_hat_lane_pad_compat(monkeypatch):
+    """Lane pad with hat_compat=True (norm_embed/norm_body +
+    conv_before_upsample + OCA rel-pos table padding)."""
+    monkeypatch.setenv("SRTPU_LANE_PAD", "1")
+    monkeypatch.setenv("SRTPU_LANE_PAD_TO", "16")
+    model = HATLite(**KW, hat_compat=True, upsample_feat=8)
+    x = jax.random.normal(jax.random.key(0), (2, 12, 16, 1), jnp.float32)
+    variables = model.init(jax.random.key(1), x)
+    ref = model.apply(variables, x)
+    got = make_fused_hat(variables, model)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
