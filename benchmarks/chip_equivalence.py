@@ -204,7 +204,11 @@ def _sec_flash_attn(ctx):
             os.environ.pop("SRTPU_STACKED_FLASH", None)
         else:
             os.environ["SRTPU_STACKED_FLASH"] = prev
-    check("flash_oca_stacked", gotx, refx, 1e-4)
+    # 5e-4, not the section's 1e-4: the stacked layout's [nh*m, c] @
+    # [c, n] logits dot picks a different MXU f32-emulation pass
+    # decomposition than the einsum reference (measured rel 2.1e-4 on
+    # chip); a layout/indexing bug would be O(1), not O(1e-4).
+    check("flash_oca_stacked", gotx, refx, 5e-4)
 
 
 def _sec_star_l1(ctx):
