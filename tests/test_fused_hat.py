@@ -306,3 +306,20 @@ def test_fused_hat_lane_pad_compat(monkeypatch):
     got = make_fused_hat(variables, model)(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_fused_hat_lane_pad_unsupported_falls_back(monkeypatch):
+    """SRTPU_LANE_PAD on an unsupported geometry (pad target not a
+    multiple of head_dim) must silently run the unpadded path."""
+    from superresolution_tpu.infer.lane_pad import lane_pad_supported
+
+    assert not lane_pad_supported(12, 3, 18)  # hd=4 does not divide 18
+    monkeypatch.setenv("SRTPU_LANE_PAD", "1")
+    monkeypatch.setenv("SRTPU_LANE_PAD_TO", "18")
+    model = HATLite(**KW, upsample_feat=8)
+    x = jax.random.normal(jax.random.key(0), (2, 12, 16, 1), jnp.float32)
+    variables = model.init(jax.random.key(1), x)
+    ref = model.apply(variables, x)
+    got = make_fused_hat(variables, model)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
