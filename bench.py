@@ -319,6 +319,7 @@ def main() -> None:
     _emit(headline)
 
     annotations: dict = {}
+    skipped: list = []
 
     # 2. DMA probe (fast; rides the final headline line)
     if _remaining() > 45:
@@ -326,6 +327,8 @@ def main() -> None:
             annotations.update(dma_probe())
         except Exception as e:
             annotations["dma_probe_error"] = repr(e)
+    else:
+        skipped.append("dma_probe")
 
     # 3. hybrid flagship line
     if _remaining() > 90:
@@ -333,17 +336,27 @@ def main() -> None:
             _emit(bench_hybrid())
         except Exception as e:
             annotations["hybrid_bench_error"] = repr(e)
+    else:
+        skipped.append("hybrid")
 
     # 4. training parity line
-    if _remaining() > 150 and not os.environ.get("SRTPU_SKIP_TRAINBENCH"):
+    if os.environ.get("SRTPU_SKIP_TRAINBENCH"):
+        pass
+    elif _remaining() > 150:
         try:
             _emit(bench_training())
         except Exception as e:
             annotations["train_bench_error"] = repr(e)
+    else:
+        skipped.append("training")
 
     # 5. chip equivalence, stdout-quiet, under the remaining budget;
     # results land in CHIPEQ.json, the verdict rides the final line
-    if not os.environ.get("SRTPU_SKIP_CHIPEQ") and _remaining() > 30:
+    if os.environ.get("SRTPU_SKIP_CHIPEQ"):
+        pass
+    elif _remaining() <= 30:
+        skipped.append("chipeq")
+    else:
         try:
             import chip_equivalence
 
@@ -361,6 +374,8 @@ def main() -> None:
 
     # 6. final line = the headline again, annotated — the driver's
     # last-JSON-line parse always lands on the headline metric
+    if skipped:
+        annotations["stages_skipped_on_budget"] = skipped
     headline.update(annotations)
     _emit(headline)
 

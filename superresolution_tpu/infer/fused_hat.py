@@ -205,10 +205,6 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb, c_real=None):
     kv = _dense(y, op["Dense_0"])
     kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     nh_w, nw_w = h // ws, w // ws
-    # cell-decomposed gather; falls back to the ows*ows slice loop when
-    # padded dims aren't divisible by gcd(ws, ows) (ops/unfold.py)
-    kvw = extract_overlapping_windows(kv, ws, ows, nh_w, nw_w)
-    k, v = jnp.split(kvw, 2, axis=-1)
     qd = _dense(q, op["Dense_1"])
     bias = None
     if use_rpb:
@@ -218,6 +214,34 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb, c_real=None):
             ws * ws, ows * ows, nh).transpose(2, 0, 1)
     import os
 
+    from superresolution_tpu.ops.pallas_flash_oca import (
+        flash_oca_gathered, oca_gather_supported)
+
+    if (not os.environ.get("SRTPU_EINSUM_OCA")
+            and os.environ.get("SRTPU_GATHER_OCA")
+            and oca_gather_supported(ws, ows, h, w)):
+        # in-kernel kv gather (ops/pallas_flash_oca.py): the padded
+        # key/value MAPS stream into the kernel as paired row blocks;
+        # the [B*nW, ows^2, 2C] gathered tensor (~226 MB at the
+        # flagship geometry, ~3.9 ms/OCAB in XLA — exp_r23) is never
+        # materialized.
+        if bias is None:
+            bias = jnp.zeros((nh, ws * ws, ows * ows), jnp.float32)
+        k_map, v_map = jnp.split(kv, 2, axis=-1)
+        out = flash_oca_gathered(
+            qd, k_map, v_map, bias, nh, ws, ows,
+            jax.default_backend() != "tpu")
+        out = _dense(out, op["Dense_2"])
+        y = window_merge(out, ws, (h, w))
+        x = x + y
+        z = _ln(x, op["LayerNorm_1"], c_real)
+        z = _dense(z, op["Dense_3"])
+        z = jax.nn.gelu(z, approximate=False).astype(x.dtype)
+        return x + _dense(z, op["Dense_4"])
+    # cell-decomposed gather; falls back to the ows*ows slice loop when
+    # padded dims aren't divisible by gcd(ws, ows) (ops/unfold.py)
+    kvw = extract_overlapping_windows(kv, ws, ows, nh_w, nw_w)
+    k, v = jnp.split(kvw, 2, axis=-1)
     if not os.environ.get("SRTPU_EINSUM_OCA"):
         # flash OCAB at EVERY window size: the old 'flash loses at
         # ws=8' verdict (350.7 vs 343.2, exp_r3_hybrid_flash) was a
