@@ -5,10 +5,13 @@ Prints MULTIPLE JSON lines (each flushed immediately), in this order:
   1. headline   — ESRGAN RRDB x4 tiled 2K inference (BASELINE config 4)
   2. hybrid     — the reference's actual flagship two-stage model
                   (RRDBNet 23 + HAT, reference src/architecture.py:30-82),
-                  fused deploy path, batch 4, 128^2 -> 512^2
+                  fused deploy path, 128^2 -> 512^2
   3. training   — hybrid_astro REAL train step, samples/s (the H200
                   parity anchor, BENCHMARKS.md round-3 table)
-  4. headline again, annotated with chipeq/DMA-probe fields.
+  4. quality    — PSNR/SSIM of the committed quality-anchor checkpoint
+                  through the fused deploy path, + bicubic delta
+                  (absent until tools/train_quality_ckpt.py has run)
+  5. headline again, annotated with chipeq/DMA-probe fields.
 
 ORDER IS LOAD-BEARING: BENCH_r03 (rc 124) proved the driver kills slow
 runs and parses the LAST JSON line it sees. The headline prints before
@@ -24,6 +27,14 @@ the output rate is 16x this in pixels).
 
 Baseline derivations (the reference publishes no throughput numbers —
 BASELINE.md):
+
+CEILING (BASELINE.md "Throughput ceiling analysis"): the 4x north star
+(5.6 MP/s at 35.8 TF per input MP) equals ~200 TF/s effective = 101% of
+v5e nominal bf16 — physically unreachable for a FLOP-exact model on one
+chip. The measured XLA conv envelope at these shapes is 42.4 TF/s
+(~1.18 MP/s); the fused-kernel headline runs 1.34x that envelope. The
+`mfu_vs_nominal_197tf` and `vs_r2_xla_conv_envelope_42tf` fields on the
+headline line exist so a reader can tell headroom from physics.
 
 * ESRGAN x4 (REF_GPU_MPS_X4 = 1.4): the reference's fallback production
   GPU is an RTX 4090 (reference readme.md:91-95,415-421) running
@@ -255,6 +266,69 @@ def bench_training() -> dict:
     }
 
 
+def bench_quality() -> dict | None:
+    """Driver-visible QUALITY number (VERDICT r4 item 6): PSNR/SSIM of
+    the committed quality-anchor checkpoint (assets/quality, trained
+    once by tools/train_quality_ckpt.py) on the fixed-seed synthetic
+    val set, evaluated through the PRODUCTION fused deploy path (fused
+    dense trunk + phase tail, bf16). A kernel/numerics regression moves
+    this PSNR; chipeq's loose bf16 tolerances would not catch it.
+    Returns None (stage silently absent) if the checkpoint is missing.
+    Also reports the bicubic-upscale baseline PSNR and the delta
+    (reference quality frame: readme.md:536-539, model-over-bicubic)."""
+    import jax
+    import jax.numpy as jnp
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "assets", "quality", "final_weights", "best")
+    if not os.path.isdir(ckpt):
+        return None
+
+    from superresolution_tpu.data.dataset import SyntheticHRDataset
+    from superresolution_tpu.infer.fused_trunk import fused_rrdb_model
+    from superresolution_tpu.metrics.psnr_ssim import psnr, ssim
+    from superresolution_tpu.models.factory import get_model
+    from superresolution_tpu.ops.degradation import degrade_bicubic
+    from superresolution_tpu.ops.resize import resize_bicubic
+    from superresolution_tpu.train.checkpoint import (
+        load_params_for_inference)
+    from superresolution_tpu.utils.precision import get_policy
+
+    params, mc = load_params_for_inference(ckpt, with_config=True)
+    kwargs = dict(mc.get("kwargs", {}))
+    model = get_model(mc["name"], scale=mc["scale"],
+                      in_channels=mc["in_channels"],
+                      out_channels=mc["out_channels"], **kwargs)
+    policy = get_policy("bf16")
+    variables = policy.cast_to_compute({"params": params})
+    deploy = fused_rrdb_model(variables, model)
+
+    scale = int(mc["scale"])
+    ds = SyntheticHRDataset(8, 128, mc["out_channels"], seed=2)
+    hr = jnp.stack([jnp.asarray(ds[i]["hr"]) for i in range(len(ds))])
+    lr = jax.vmap(lambda im: degrade_bicubic(im, scale))(hr)
+
+    @jax.jit
+    def evaluate(lr_, hr_):
+        sr = jnp.clip(deploy.apply(
+            None, lr_.astype(jnp.bfloat16)).astype(jnp.float32), 0, 1)
+        up = jnp.clip(resize_bicubic(
+            lr_, (hr_.shape[1], hr_.shape[2])), 0, 1)
+        return (jnp.mean(psnr(sr, hr_)), jnp.mean(ssim(sr, hr_)),
+                jnp.mean(psnr(up, hr_)))
+
+    p, s, pb = jax.device_get(evaluate(lr, hr))
+    return {
+        "metric": ("val PSNR dB, quality-anchor RRDB x4 (committed ckpt,"
+                   " fused deploy path, fixed-seed synthetic val)"),
+        "value": round(float(p), 3),
+        "unit": "dB",
+        "ssim": round(float(s), 4),
+        "bicubic_psnr": round(float(pb), 3),
+        "delta_vs_bicubic": round(float(p) - float(pb), 3),
+    }
+
+
 def dma_probe() -> dict:
     """64-lane vs 128-lane Pallas passthrough GB/s (grid-pipelined DMA
     both directions, same total bytes). Detects a libtpu fix of the
@@ -307,6 +381,32 @@ def dma_probe() -> dict:
     return out
 
 
+def _merge_chipeq(path: str, new: dict) -> dict:
+    """MERGE a chip-equivalence run into the existing CHIPEQ.json: keep
+    the last green result (+ its run timestamp) for any kernel the new
+    run deadline-skipped, so a budget-trimmed bench never SHRINKS the
+    committed evidence (round 4 regressed 15 kernels -> 3 this way —
+    VERDICT r4 item 2b). A kernel the new run actually re-ran always
+    overwrites its carried entry; `pass` reflects the new run's own
+    failures/errors, never a carried value."""
+    now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    for r in new.get("results", {}).values():
+        r["run_at"] = now
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except Exception:
+        return new
+    carried = {}
+    for name, r in prev.get("results", {}).items():
+        if name not in new.get("results", {}) and r.get("pass"):
+            carried[name] = dict(r, carried_forward=True)
+    if carried:
+        new.setdefault("results", {}).update(carried)
+        new["carried_forward"] = sorted(carried)
+    return new
+
+
 def main() -> None:
     from superresolution_tpu.utils.runtime import setup_jax_cache
 
@@ -350,7 +450,20 @@ def main() -> None:
     else:
         skipped.append("training")
 
-    # 5. chip equivalence, stdout-quiet, under the remaining budget;
+    # 5. quality line — PSNR from the committed quality-anchor ckpt
+    # through the fused deploy path (absent until the ckpt is trained)
+    if _remaining() > 60:
+        try:
+            q = bench_quality()
+            if q is not None:
+                _emit(q)
+                annotations["quality_psnr_db"] = q["value"]
+        except Exception as e:
+            annotations["quality_bench_error"] = repr(e)
+    else:
+        skipped.append("quality")
+
+    # 6. chip equivalence, stdout-quiet, under the remaining budget;
     # results land in CHIPEQ.json, the verdict rides the final line
     if os.environ.get("SRTPU_SKIP_CHIPEQ"):
         pass
@@ -365,14 +478,16 @@ def main() -> None:
         except Exception as e:  # never lose the headline metric
             chipeq = {"pass": False, "error": repr(e),
                       "failed": [], "skipped": [], "results": {}}
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "CHIPEQ.json"), "w") as f:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "CHIPEQ.json")
+        chipeq = _merge_chipeq(path, chipeq)
+        with open(path, "w") as f:
             json.dump(chipeq, f, indent=2)
         annotations["chipeq_pass"] = chipeq["pass"]
         if chipeq.get("skipped"):
             annotations["chipeq_skipped"] = len(chipeq["skipped"])
 
-    # 6. final line = the headline again, annotated — the driver's
+    # 7. final line = the headline again, annotated — the driver's
     # last-JSON-line parse always lands on the headline metric
     if skipped:
         annotations["stages_skipped_on_budget"] = skipped

@@ -151,7 +151,8 @@ def _sec_strip_hab(ctx):
     ref = jax.jit(lambda v: hat.apply(hv, v))(xb)
     for env, tag in (("SRTPU_STACKED_ATTN", "stacked_attn"),
                      ("SRTPU_STRIP_HAB", "strip_hab"),
-                     ("SRTPU_LANE_PAD", "lane_pad")):
+                     ("SRTPU_LANE_PAD", "lane_pad"),
+                     ("SRTPU_GATHER_OCA", "gather_oca")):
         os.environ[env] = "1"
         try:
             got = jax.jit(make_fused_hat(hv, hat))(xb)
@@ -209,6 +210,49 @@ def _sec_flash_attn(ctx):
     # decomposition than the einsum reference (measured rel 2.1e-4 on
     # chip); a layout/indexing bug would be O(1), not O(1e-4).
     check("flash_oca_stacked", gotx, refx, 5e-4)
+
+
+def _sec_flash_oca_gather(ctx):
+    # flash_oca_gathered (in-kernel OCAB kv gather) fwd + vjp on real
+    # Mosaic vs the extract_overlapping_windows + reference-attention
+    # composition (r4 advisor: the kernel shipped with no chipeq section)
+    from superresolution_tpu.ops.pallas_attn import (
+        reference_window_attention)
+    from superresolution_tpu.ops.pallas_flash_oca import flash_oca_gathered
+    from superresolution_tpu.ops.unfold import extract_overlapping_windows
+
+    b, ws, ows, h, w, c, nh = 2, 8, 12, 32, 32, 96, 6
+    nh_w, nw_w = h // ws, w // ws
+    n = ws * ws
+    ks = jax.random.split(jax.random.key(9), 4)
+    q = jax.random.normal(ks[0], (b * nh_w * nw_w, n, c), jnp.bfloat16)
+    k_map = jax.random.normal(
+        ks[1], (b, h + ows - ws, w + ows - ws, c), jnp.bfloat16)
+    v_map = jax.random.normal(
+        ks[2], (b, h + ows - ws, w + ows - ws, c), jnp.bfloat16)
+    bias = jax.random.normal(ks[3], (nh, n, ows * ows), jnp.float32) * 0.1
+
+    def comp(qq, km, vm, bb):
+        kw = extract_overlapping_windows(km, ws, ows, nh_w, nw_w)
+        vw = extract_overlapping_windows(vm, ws, ows, nh_w, nw_w)
+        return reference_window_attention(qq, kw, vw, bb)
+
+    ref = jax.jit(comp)(q, k_map, v_map, bias)
+    got = jax.jit(lambda a, b_, c_, d: flash_oca_gathered(
+        a, b_, c_, d, nh, ws, ows, False))(q, k_map, v_map, bias)
+    check("flash_oca_gathered", got, ref, 0.03)
+
+    def loss_kernel(a, km, vm):
+        return jnp.sum(flash_oca_gathered(
+            a, km, vm, bias, nh, ws, ows, False).astype(jnp.float32) ** 2)
+
+    def loss_ref(a, km, vm):
+        return jnp.sum(comp(a, km, vm, bias).astype(jnp.float32) ** 2)
+
+    gk = jax.jit(jax.grad(loss_kernel, argnums=(0, 1, 2)))(q, k_map, v_map)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k_map, v_map)
+    for (a, r, tag) in zip(gk, gr, ("dq", "dk_map", "dv_map")):
+        check(f"flash_oca_gathered_{tag}", a, r, 0.03)
 
 
 def _sec_star_l1(ctx):
@@ -289,6 +333,7 @@ SECTIONS = [
     ("fused_hat", _sec_fused_hat),
     ("strip_hab", _sec_strip_hab),
     ("flash_attn", _sec_flash_attn),
+    ("flash_oca_gather", _sec_flash_oca_gather),
     ("star_l1", _sec_star_l1),
     ("dense_train", _sec_dense_train),
     ("chained_rrdb", _sec_chained_rrdb),

@@ -81,8 +81,8 @@ def cmd_train(args):
     from superresolution_tpu.train.trainer import Trainer
 
     cfg = _config_from_args(args)
-    trainer = Trainer(cfg, workdir=args.workdir)
-    result = trainer.fit()
+    with Trainer(cfg, workdir=args.workdir) as trainer:
+        result = trainer.fit()
     print(json.dumps(result))
 
 
@@ -99,8 +99,8 @@ def cmd_test(args):
     from superresolution_tpu.train.trainer import Trainer
 
     cfg = _config_from_args(args)
-    trainer = Trainer(cfg, workdir=args.workdir)
-    result = run_test(trainer, labeled=args.labeled)
+    with Trainer(cfg, workdir=args.workdir) as trainer:
+        result = run_test(trainer, labeled=args.labeled)
     print(json.dumps(result))
 
 

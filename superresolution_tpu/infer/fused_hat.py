@@ -203,7 +203,10 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb, c_real=None):
     y = _ln(x, op["LayerNorm_0"], c_real)
     q = window_partition(y, ws)
     kv = _dense(y, op["Dense_0"])
-    kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    # asymmetric tail pad for odd ows-ws (models/hat_lite.py OCAB keeps
+    # the identical convention, so deploy == apply at every geometry)
+    kv = jnp.pad(kv, ((0, 0), (pad, ows - ws - pad),
+                      (pad, ows - ws - pad), (0, 0)))
     nh_w, nw_w = h // ws, w // ws
     qd = _dense(q, op["Dense_1"])
     bias = None
@@ -231,31 +234,27 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb, c_real=None):
         out = flash_oca_gathered(
             qd, k_map, v_map, bias, nh, ws, ows,
             jax.default_backend() != "tpu")
-        out = _dense(out, op["Dense_2"])
-        y = window_merge(out, ws, (h, w))
-        x = x + y
-        z = _ln(x, op["LayerNorm_1"], c_real)
-        z = _dense(z, op["Dense_3"])
-        z = jax.nn.gelu(z, approximate=False).astype(x.dtype)
-        return x + _dense(z, op["Dense_4"])
-    # cell-decomposed gather; falls back to the ows*ows slice loop when
-    # padded dims aren't divisible by gcd(ws, ows) (ops/unfold.py)
-    kvw = extract_overlapping_windows(kv, ws, ows, nh_w, nw_w)
-    k, v = jnp.split(kvw, 2, axis=-1)
-    if not os.environ.get("SRTPU_EINSUM_OCA"):
+    elif not os.environ.get("SRTPU_EINSUM_OCA"):
         # flash OCAB at EVERY window size: the old 'flash loses at
         # ws=8' verdict (350.7 vs 343.2, exp_r3_hybrid_flash) was a
         # pre-house-rule timing artifact — trusted e2e re-measure
         # (exp_r19 + SRTPU_FLASH_OCA8): 252.8 vs 280.5 ms/batch.
         # SRTPU_EINSUM_OCA=1 restores the einsum path for A/Bs.
+        # Gather is cell-decomposed; falls back to the ows*ows slice
+        # loop when padded dims aren't divisible by gcd(ws, ows)
+        # (ops/unfold.py).
         from superresolution_tpu.ops.pallas_attn import (
             flash_window_attention)
 
+        kvw = extract_overlapping_windows(kv, ws, ows, nh_w, nw_w)
+        k, v = jnp.split(kvw, 2, axis=-1)
         if bias is None:
             bias = jnp.zeros((nh, ws * ws, ows * ows), jnp.float32)
         out = flash_window_attention(
             qd, k, v, bias, nh, jax.default_backend() != "tpu", None)
     else:
+        kvw = extract_overlapping_windows(kv, ws, ows, nh_w, nw_w)
+        k, v = jnp.split(kvw, 2, axis=-1)
         qh = qd.reshape(-1, ws * ws, nh, hd).transpose(0, 2, 1, 3)
         kh = k.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)
         vh = v.reshape(-1, ows * ows, nh, hd).transpose(0, 2, 1, 3)

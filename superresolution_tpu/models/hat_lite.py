@@ -242,7 +242,11 @@ class OverlappingCrossAttention(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, param_dtype=jnp.float32)(x)
         q = window_partition(y, ws)  # [nB, ws*ws, C]
         kv = nn.Dense(2 * c, dtype=x.dtype, param_dtype=jnp.float32)(y)
-        kv = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        # asymmetric tail pad: odd ows-ws would otherwise leave the map
+        # one short of the full overlap extent (upstream HAT's nn.Unfold
+        # breaks there too — we define the odd case instead)
+        kv = jnp.pad(kv, ((0, 0), (pad, ows - ws - pad),
+                          (pad, ows - ws - pad), (0, 0)))
         # unfold overlapping windows: cell-decomposed gather (9 slices +
         # one transpose instead of ows*ows slice+stacks — ops/unfold.py;
         # falls back to the slice loop when padded dims aren't divisible

@@ -54,9 +54,13 @@ __all__ = ["flash_oca_gathered", "oca_gather_supported"]
 
 def oca_gather_supported(ws: int, ows: int, h: int, w: int) -> bool:
     """The kernel covers the production OCAB geometries: the overlap
-    extent must fit the two-block slab (ows <= 2*ws) and the feature
-    map must tile into whole windows."""
-    return ws < ows <= 2 * ws and h % ws == 0 and w % ws == 0
+    extent must fit the two-block slab (ows <= 2*ws), be even (the
+    caller pads the kv map by 2*((ows-ws)//2) — an odd ows-ws would
+    make _fwd_impl's derived h disagree with the padded map and fail
+    at trace time; advisor round-4 finding), and the feature map must
+    tile into whole windows."""
+    return (ws < ows <= 2 * ws and (ows - ws) % 2 == 0
+            and h % ws == 0 and w % ws == 0)
 
 
 def _kernel(q_ref, ka_ref, kb_ref, va_ref, vb_ref, bias_ref, out_ref, *,

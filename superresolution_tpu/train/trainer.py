@@ -400,3 +400,19 @@ class Trainer:
     def finalize(self) -> str:
         """Promote best weights (reference scripts/Modello_4.py contract)."""
         return self.ckpt.finalize(os.path.join(self.workdir, "final_weights"))
+
+    def close(self) -> None:
+        """Release background resources deterministically: waits out any
+        in-flight async checkpoint save and closes the TB/JSONL writers
+        (each SummaryWriter owns threads; leaking dozens across a pytest
+        process contributed to the round-4 full-suite SIGABRT)."""
+        self.ckpt.wait()
+        if self.d_ckpt is not None:
+            self.d_ckpt.wait()
+        self.logger.close()
+
+    def __enter__(self) -> "Trainer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

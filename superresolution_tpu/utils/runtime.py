@@ -16,6 +16,13 @@ def setup_jax_cache(cache_dir: str | None = None) -> None:
     cache_dir = cache_dir or os.environ.get(
         "SRTPU_JAX_CACHE", os.path.join(os.path.dirname(
             os.path.dirname(os.path.dirname(__file__))), ".jax_cache"))
+    if cache_dir.lower() in ("off", "0", "none", ""):
+        # explicit opt-out: under pytest the suite compiles hundreds of
+        # tiny programs in one process and a late large-executable cache
+        # write can SIGABRT the whole run (observed in the round-4 full
+        # suite inside compilation_cache.put_executable_and_time); tests
+        # set SRTPU_JAX_CACHE=off in conftest.py
+        return
     try:
         # the default resolves next to the package, which is read-only
         # for system installs — a cache is an optimization, never fatal

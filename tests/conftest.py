@@ -9,6 +9,12 @@ import os
 # too late — use jax.config.update as well.
 _platform = os.environ.get("SRTPU_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
+# Keep the persistent compile cache OFF for the whole pytest process: the
+# suite compiles hundreds of tiny programs, and a late large-executable
+# cache write SIGABRTed the round-4 full-suite run (compilation_cache
+# put_executable_and_time). Tests that call cli.main()/setup_jax_cache()
+# would otherwise flip it on mid-suite. Override with SRTPU_JAX_CACHE=<dir>.
+os.environ.setdefault("SRTPU_JAX_CACHE", "off")
 import re as _re
 
 flags = os.environ.get("XLA_FLAGS", "")
@@ -34,3 +40,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True)
+def _close_leaked_loggers():
+    """Close any MetricsLogger a test leaked: each TB SummaryWriter owns
+    background threads and the accumulated writers destabilized the
+    round-4 full-suite run (SIGABRT at ~250/273)."""
+    yield
+    from superresolution_tpu.train.logging import close_all_open_loggers
+
+    close_all_open_loggers()

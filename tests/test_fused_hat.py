@@ -323,3 +323,32 @@ def test_fused_hat_lane_pad_unsupported_falls_back(monkeypatch):
     got = make_fused_hat(variables, model)(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_fused_hat_gather_oca_matches_apply(monkeypatch):
+    """SRTPU_GATHER_OCA=1 (in-kernel OCAB kv gather,
+    ops/pallas_flash_oca.py) must be apply-equivalent on a supported
+    geometry (ws=4, overlap 0.5 -> ows=6, even extent)."""
+    monkeypatch.setenv("SRTPU_GATHER_OCA", "1")
+    model = HATLite(**KW, upsample_feat=8)
+    x = jax.random.normal(jax.random.key(0), (2, 12, 16, 1), jnp.float32)
+    variables = model.init(jax.random.key(1), x)
+    ref = model.apply(variables, x)
+    got = make_fused_hat(variables, model)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_fused_hat_gather_oca_odd_overlap_falls_back(monkeypatch):
+    """SRTPU_GATHER_OCA=1 with an odd overlap extent (ws=4, overlap
+    0.25 -> ows=5): oca_gather_supported rejects the geometry and the
+    flash-attention gather path runs instead — still apply-equivalent
+    (advisor round-4 finding: this used to ValueError at trace time)."""
+    monkeypatch.setenv("SRTPU_GATHER_OCA", "1")
+    model = HATLite(**KW, upsample_feat=8, overlap_ratio=0.25)
+    x = jax.random.normal(jax.random.key(0), (2, 12, 16, 1), jnp.float32)
+    variables = model.init(jax.random.key(1), x)
+    ref = model.apply(variables, x)
+    got = make_fused_hat(variables, model)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)

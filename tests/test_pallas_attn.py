@@ -176,3 +176,102 @@ def test_flash_stacked_cross_attention(monkeypatch):
     got = flash_window_attention(q, k, v, bias, nh, True, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# flash_oca_gathered (ops/pallas_flash_oca.py): the in-kernel kv gather
+# must equal the extract_overlapping_windows + reference attention
+# composition (fwd and vjp) — advisor round-4 finding: the kernel was
+# wired into the deploy path (SRTPU_GATHER_OCA) with no coverage.
+
+def _oca_inputs(b=1, ws=4, ows=6, h=8, w=8, c=12, nh=3,
+                dtype=jnp.float32, seed=11):
+    nh_w, nw_w = h // ws, w // ws
+    n = ws * ws
+    ks = jax.random.split(jax.random.key(seed), 4)
+    q = jax.random.normal(ks[0], (b * nh_w * nw_w, n, c), dtype)
+    k_map = jax.random.normal(ks[1], (b, h + ows - ws, w + ows - ws, c),
+                              dtype)
+    v_map = jax.random.normal(ks[2], (b, h + ows - ws, w + ows - ws, c),
+                              dtype)
+    bias = jax.random.normal(ks[3], (nh, n, ows * ows), jnp.float32) * 0.1
+    return q, k_map, v_map, bias, nh_w, nw_w
+
+
+def _oca_composition(q, k_map, v_map, bias, ws, ows, nh_w, nw_w):
+    from superresolution_tpu.ops.unfold import extract_overlapping_windows
+
+    kw = extract_overlapping_windows(k_map, ws, ows, nh_w, nw_w)
+    vw = extract_overlapping_windows(v_map, ws, ows, nh_w, nw_w)
+    return reference_window_attention(q, kw, vw, bias)
+
+
+def test_flash_oca_gathered_matches_composition():
+    from superresolution_tpu.ops.pallas_flash_oca import flash_oca_gathered
+
+    q, k_map, v_map, bias, nh_w, nw_w = _oca_inputs()
+    ref = _oca_composition(q, k_map, v_map, bias, 4, 6, nh_w, nw_w)
+    got = flash_oca_gathered(q, k_map, v_map, bias, 3, 4, 6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_oca_gathered_multiwindow_rows():
+    """More than one window row/col (nh_w=nw_w=3) exercises the
+    row-block pairing and the per-column slices."""
+    from superresolution_tpu.ops.pallas_flash_oca import flash_oca_gathered
+
+    q, k_map, v_map, bias, nh_w, nw_w = _oca_inputs(h=12, w=12, seed=13)
+    ref = _oca_composition(q, k_map, v_map, bias, 4, 6, nh_w, nw_w)
+    got = flash_oca_gathered(q, k_map, v_map, bias, 3, 4, 6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_oca_gathered_bf16():
+    from superresolution_tpu.ops.pallas_flash_oca import flash_oca_gathered
+
+    q, k_map, v_map, bias, nh_w, nw_w = _oca_inputs(dtype=jnp.bfloat16)
+    ref = _oca_composition(q, k_map, v_map, bias, 4, 6, nh_w, nw_w)
+    got = flash_oca_gathered(q, k_map, v_map, bias, 3, 4, 6, True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_flash_oca_gathered_gradients():
+    """custom_vjp backward (recomputed-reference) must match grads of
+    the composition for every differentiable input."""
+    from superresolution_tpu.ops.pallas_flash_oca import flash_oca_gathered
+
+    q, k_map, v_map, bias, nh_w, nw_w = _oca_inputs()
+
+    def loss_kernel(q, km, vm, b):
+        return jnp.sum(flash_oca_gathered(q, km, vm, b, 3, 4, 6, True) ** 2)
+
+    def loss_ref(q, km, vm, b):
+        return jnp.sum(
+            _oca_composition(q, km, vm, b, 4, 6, nh_w, nw_w) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k_map, v_map, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k_map, v_map, bias)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_oca_gather_supported_guard():
+    """Geometry guard: odd ows-ws (e.g. ws=8, overlap 0.4 -> ows=11)
+    must be rejected — the caller pads the kv map by 2*((ows-ws)//2),
+    so an odd extent would fail at trace time inside the kernel
+    (advisor round-4 finding)."""
+    from superresolution_tpu.ops.pallas_flash_oca import (
+        oca_gather_supported)
+
+    assert oca_gather_supported(8, 12, 64, 64)
+    assert oca_gather_supported(4, 6, 8, 8)
+    assert not oca_gather_supported(8, 11, 64, 64)   # odd overlap
+    assert not oca_gather_supported(8, 8, 64, 64)    # no overlap
+    assert not oca_gather_supported(8, 18, 64, 64)   # > 2*ws slab
+    assert not oca_gather_supported(8, 12, 60, 64)   # h not tiled
