@@ -211,7 +211,10 @@ def bench_headline() -> dict:
 
 def bench_hybrid() -> dict:
     """The reference's flagship hybrid (RRDBNet 23 + HAT stage 2),
-    fused deploy path, batch 4, 128^2 -> 512^2 (exp_r19 geometry)."""
+    fused deploy path, 128^2 -> 512^2 (exp_r19 geometry). Deploy batch
+    default set by the exp_r33 sweep (inference batch is free — the
+    training geometry's b4 was never a constraint); SRTPU_HYBRID_BATCH
+    overrides."""
     import jax
     import jax.numpy as jnp
 
@@ -219,7 +222,7 @@ def bench_hybrid() -> dict:
     from superresolution_tpu.models import HATLite, HybridSR, RRDBNet
     from superresolution_tpu.utils.precision import get_policy
 
-    batch = 4
+    batch = int(os.environ.get("SRTPU_HYBRID_BATCH", "1"))
     policy = get_policy("bf16")
     model = HybridSR(
         stage1=RRDBNet(scale=2, in_channels=1, out_channels=1,
@@ -236,11 +239,12 @@ def bench_hybrid() -> dict:
     wrapped = fused_hybrid_model(params, model)
     x = jax.random.normal(jax.random.key(1), (batch, 128, 128, 1),
                           jnp.bfloat16)
-    ms = _marginal_ms(lambda v: wrapped.apply(None, v), x, iters=5)
+    ms = _marginal_ms(lambda v: wrapped.apply(None, v), x,
+                      iters=max(2, 20 // batch))
     value = batch * 128 * 128 / 1e6 / (ms / 1e3)
     return {
         "metric": ("input megapixels/sec/chip, hybrid RRDB+HAT x4 "
-                   "(reference flagship), batch 4, 128^2->512^2"),
+                   f"(reference flagship), batch {batch}, 128^2->512^2"),
         "value": round(value, 4),
         "unit": "MP/s/chip",
         "vs_baseline": round(value / REF_GPU_MPS_HYBRID, 3),

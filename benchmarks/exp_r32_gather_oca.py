@@ -81,7 +81,8 @@ CONFIGS = {
 
 def main():
     names = sys.argv[1:] or list(CONFIGS)
-    x = jax.random.normal(jax.random.key(1), (4, 128, 128, 1),
+    batch = int(os.environ.get("SRTPU_HYBRID_BATCH", "1"))
+    x = jax.random.normal(jax.random.key(1), (batch, 128, 128, 1),
                           jnp.bfloat16)
     for name in names:
         for k, v in CONFIGS[name].items():
@@ -97,7 +98,7 @@ def main():
         t3, t6 = chain_ms(fn, x, 3), chain_ms(fn, x, 6)
         ms = (t6 - t3) / 3
         record(f"hybrid_{name}_ms_per_batch", round(ms, 1))
-        record(f"hybrid_{name}_mps", round(4 * 128 * 128 / 1e6
+        record(f"hybrid_{name}_mps", round(batch * 128 * 128 / 1e6
                                            / (ms / 1e3), 4))
 
 

@@ -24,3 +24,46 @@ def test_check_flags_broken_kernel(capsys):
     assert chip_equivalence.FAILED == ["broken_kernel"]
     assert chip_equivalence.RESULTS["ok_kernel"]["pass"]
     assert not chip_equivalence.RESULTS["broken_kernel"]["pass"]
+
+
+def test_bench_merge_chipeq_never_shrinks(tmp_path):
+    """bench.py's CHIPEQ merge: a budget-trimmed run must carry forward
+    the last green result for kernels it skipped (round 4 shrank the
+    committed file 15 kernels -> 3 by overwriting), while re-run kernels
+    always take the fresh value and failures are never masked."""
+    import importlib.util as ilu
+    import json
+    import os
+
+    bench_path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = ilu.spec_from_file_location("bench_mod", bench_path)
+    bench = ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    path = str(tmp_path / "CHIPEQ.json")
+    prev = {"pass": True, "failed": [], "skipped": [],
+            "results": {
+                "kern_a": {"max_diff": 0.001, "pass": True},
+                "kern_b": {"max_diff": 0.002, "pass": True},
+                "kern_bad": {"max_diff": 9.0, "pass": False}}}
+    with open(path, "w") as f:
+        json.dump(prev, f)
+
+    new = {"pass": True, "failed": [], "skipped": ["sec2"],
+           "results": {"kern_a": {"max_diff": 0.003, "pass": True}}}
+    merged = bench._merge_chipeq(path, new)
+    # fresh result wins for the re-run kernel
+    assert merged["results"]["kern_a"]["max_diff"] == 0.003
+    assert "run_at" in merged["results"]["kern_a"]
+    # skipped-but-previously-green kernel carried forward, marked
+    assert merged["results"]["kern_b"]["carried_forward"]
+    # a previously-FAILING kernel is never resurrected as evidence
+    assert "kern_bad" not in merged["results"]
+    assert merged["carried_forward"] == ["kern_b"]
+    # pass still reflects only the new run
+    assert merged["pass"] is True
+
+    # no previous file: new result returned unchanged
+    merged2 = bench._merge_chipeq(str(tmp_path / "none.json"),
+                                  {"pass": False, "results": {}})
+    assert merged2["pass"] is False
