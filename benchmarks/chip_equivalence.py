@@ -149,11 +149,14 @@ def _sec_strip_hab(ctx):
                   depths=(2, 2), num_heads=(6, 6), window_size=8)
     hv = hat.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))
     ref = jax.jit(lambda v: hat.apply(hv, v))(xb)
-    for env, tag in (("SRTPU_STACKED_ATTN", "stacked_attn"),
-                     ("SRTPU_STRIP_HAB", "strip_hab"),
-                     ("SRTPU_LANE_PAD", "lane_pad"),
-                     ("SRTPU_GATHER_OCA", "gather_oca")):
-        os.environ[env] = "1"
+    # gather-OCA is the r5 default, so the base fused_hat_ws8 check
+    # already covers it; "no_gather_oca" keeps the windowed-gather
+    # fallback (SRTPU_GATHER_OCA=0) chip-verified too.
+    for env, val, tag in (("SRTPU_STACKED_ATTN", "1", "stacked_attn"),
+                          ("SRTPU_STRIP_HAB", "1", "strip_hab"),
+                          ("SRTPU_LANE_PAD", "1", "lane_pad"),
+                          ("SRTPU_GATHER_OCA", "0", "no_gather_oca")):
+        os.environ[env] = val
         try:
             got = jax.jit(make_fused_hat(hv, hat))(xb)
             check(f"fused_hat_{tag}", got, ref, 0.03)

@@ -221,13 +221,15 @@ def _ocab(x, op, *, ws, nh, overlap_ratio, use_rpb, c_real=None):
         flash_oca_gathered, oca_gather_supported)
 
     if (not os.environ.get("SRTPU_EINSUM_OCA")
-            and os.environ.get("SRTPU_GATHER_OCA")
+            and os.environ.get("SRTPU_GATHER_OCA", "1") not in ("", "0")
             and oca_gather_supported(ws, ows, h, w)):
         # in-kernel kv gather (ops/pallas_flash_oca.py): the padded
         # key/value MAPS stream into the kernel as paired row blocks;
-        # the [B*nW, ows^2, 2C] gathered tensor (~226 MB at the
+        # the [B*nW, ows^2, 2C] gathered tensor (~226 MB at the b4
         # flagship geometry, ~3.9 ms/OCAB in XLA — exp_r23) is never
-        # materialized.
+        # materialized. DEFAULT since round 5: e2e 46.3 vs 49.6
+        # ms/frame at the b1 deploy geometry (+7.2%, exp_r32);
+        # SRTPU_GATHER_OCA=0 restores the windowed-gather flash path.
         if bias is None:
             bias = jnp.zeros((nh, ws * ws, ows * ows), jnp.float32)
         k_map, v_map = jnp.split(kv, 2, axis=-1)
