@@ -93,16 +93,17 @@ def main():
     variables = jax.jit(model.init)(jax.random.key(0),
                                     jnp.zeros((1, 32, 32, 1)))
     p = variables["params"]
+    gp = jax.tree.map(lambda a: a[0], p["groups"])["ResidualGroup_0"]
     hp = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        p["groups"]["ResidualGroup_0"]["hab_pairs"])
-    hp0 = jax.tree.map(lambda a: a[0], hp)["HABlock_0"]
+        jax.tree.map(lambda a: a[0], gp["hab_pairs"]))
+    hp0 = hp["HABlock_0"]
 
     x = jax.random.normal(jax.random.key(1), (B, H, W, C), jnp.bfloat16)
 
     results = {}
 
-    def run(tag, fn, v=x, iters=10):
+    def run(tag, fn, v=x, iters=60):
         ms = timeit(fn, v, iters=iters)
         results[tag] = ms
         record(tag + "_ms", round(ms, 3))
