@@ -299,6 +299,11 @@ def bench_quality() -> dict | None:
     from superresolution_tpu.utils.precision import get_policy
 
     params, mc = load_params_for_inference(ckpt, with_config=True)
+    # the loader may return either the bare param tree or a full
+    # variables dict ({"params": ...}) depending on how the trainer
+    # saved it — normalize to the bare tree before wrapping below
+    if isinstance(params, dict) and set(params.keys()) == {"params"}:
+        params = params["params"]
     kwargs = dict(mc.get("kwargs", {}))
     model = get_model(mc["name"], scale=mc["scale"],
                       in_channels=mc["in_channels"],

@@ -154,6 +154,8 @@ def load_params_for_inference(ckpt_dir: str, prefer_ema: bool = True,
     also returns the saved model-architecture dict (or None)."""
     import os
 
+    # orbax rejects relative paths; accept them at every CLI/API surface
+    ckpt_dir = os.path.abspath(ckpt_dir)
     path = ckpt_dir
     cfg = None
     cfg_path = os.path.join(ckpt_dir, "model_config.json")

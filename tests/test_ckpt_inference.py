@@ -41,6 +41,16 @@ def test_load_params_from_finalized_dir(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_load_params_relative_path(tmp_path, monkeypatch):
+    # orbax rejects relative paths; the loader must absolutize them
+    # (a relative --ckpt crashed the CLI before round 5)
+    model, params, mgr = _make_ckpt(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    loaded = load_params_for_inference("ck")
+    out = model.apply(loaded, jnp.ones((1, 8, 8, 1)))
+    assert out.shape == (1, 16, 16, 1)
+
+
 def test_ema_preferred(tmp_path):
     model, params, mgr = _make_ckpt(tmp_path, ema=True)
     loaded = load_params_for_inference(str(tmp_path / "ck"))

@@ -32,7 +32,7 @@ OUT_DIR = os.path.join(ROOT, "assets", "quality")
 # The recipe bench.py's quality stage assumes: keep in sync with
 # bench_quality() (same model family/seeds; eval set = SyntheticHRDataset
 # seed 2 via the Trainer's val split).
-EPOCHS = int(os.environ.get("SRTPU_QUALITY_EPOCHS", "60"))
+EPOCHS = int(os.environ.get("SRTPU_QUALITY_EPOCHS", "400"))
 
 
 def quality_config():
@@ -41,10 +41,10 @@ def quality_config():
         cfg.model, kwargs={"features": 64, "num_blocks": 2, "growth": 32,
                            "upsampler": "pixelshuffle"})
     data = dataclasses.replace(
-        cfg.data, hr_patch=128, batch_size=4, synthetic_len=16,
+        cfg.data, hr_patch=128, batch_size=8, synthetic_len=64,
         num_workers=0)
     train = dataclasses.replace(
-        cfg.train, epochs=EPOCHS, eval_every=5, preview_every=10**6,
+        cfg.train, epochs=EPOCHS, eval_every=20, preview_every=10**6,
         resume=False, keep_checkpoints=1)
     return cfg.replace(name="quality_anchor", model=model, data=data,
                        train=train)
