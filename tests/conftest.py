@@ -42,6 +42,20 @@ def rng():
     return np.random.default_rng(42)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables at every module boundary. A full-suite
+    run compiles ~300 XLA CPU programs into one process; the accumulated
+    LLVM JIT state made a late, large pjit compile segfault
+    (test_pipeline_parallel trainer composition, round 5 — the round-4
+    SIGABRT moved here once the persistent cache was pinned off).
+    Clearing per module caps resident executables at one module's worth;
+    cross-module cache reuse was near zero anyway (each module builds
+    its own models)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(autouse=True)
 def _close_leaked_loggers():
     """Close any MetricsLogger a test leaked: each TB SummaryWriter owns
