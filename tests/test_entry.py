@@ -21,13 +21,19 @@ def _run(code: str, extra_env: dict | None = None) -> subprocess.CompletedProces
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
     # ... except tests must never claim the real TPU (only one process may
-    # hold it); pin the subprocess to CPU the way sitecustomize would have
-    # pinned axon, proving the in-process override still runs.
+    # hold the tunneled chip; a second hangs on the device claim — one
+    # full-suite run lost this test to a 600 s hang that way). The env
+    # var alone is NOT enough: this image's sitecustomize imports jax and
+    # initializes the axon platform before user code runs, so pin CPU
+    # with the in-process override too (jax.config.update AFTER import),
+    # which is exactly the override the conftest uses.
     env["JAX_PLATFORMS"] = "cpu"
+    pre = ("import jax\n"
+           "jax.config.update('jax_platforms', 'cpu')\n")
     if extra_env:
         env.update(extra_env)
     return subprocess.run(
-        [sys.executable, "-c", code], cwd=REPO, env=env,
+        [sys.executable, "-c", pre + code], cwd=REPO, env=env,
         capture_output=True, text=True, timeout=600)
 
 
