@@ -385,7 +385,8 @@ def main():
     sys.path.insert(0, root)
     import bench
 
-    path = os.path.join(root, "CHIPEQ.json")
+    path = (os.environ.get("SRTPU_CHIPEQ_PATH")
+            or os.path.join(root, "CHIPEQ.json"))
     merged = bench._merge_chipeq(path, res)
     with open(path, "w") as f:
         json.dump(merged, f, indent=2)

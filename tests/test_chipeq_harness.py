@@ -67,3 +67,43 @@ def test_bench_merge_chipeq_never_shrinks(tmp_path):
     merged2 = bench._merge_chipeq(str(tmp_path / "none.json"),
                                   {"pass": False, "results": {}})
     assert merged2["pass"] is False
+
+
+def test_standalone_main_persists_merged_chipeq(tmp_path, monkeypatch,
+                                                capsys):
+    """A standalone `python benchmarks/chip_equivalence.py` run must
+    write CHIPEQ.json through bench.py's merge helper (round 5): the
+    committed evidence refreshes without a bench run and never shrinks."""
+    import json
+
+    path = str(tmp_path / "CHIPEQ.json")
+    prev = {"pass": True, "failed": [], "skipped": [],
+            "results": {"old_green": {"max_diff": 0.001, "pass": True}}}
+    with open(path, "w") as f:
+        json.dump(prev, f)
+
+    fresh = {"pass": True, "failed": [], "skipped": ["late"],
+             "errors": {},
+             "results": {"kern_new": {"max_diff": 0.002, "pass": True}}}
+    monkeypatch.setenv("SRTPU_CHIPEQ_PATH", path)
+    monkeypatch.setattr(chip_equivalence, "run_all", lambda: dict(fresh))
+    chip_equivalence.main()
+    assert "PASS" in capsys.readouterr().out
+
+    with open(path) as f:
+        merged = json.load(f)
+    assert merged["results"]["kern_new"]["max_diff"] == 0.002
+    assert merged["results"]["old_green"]["carried_forward"]
+
+    # a failing run writes the artifact AND exits nonzero
+    bad = {"pass": False, "failed": ["kern_new"], "errors": {},
+           "skipped": [], "results": {
+               "kern_new": {"max_diff": 9.0, "pass": False}}}
+    monkeypatch.setattr(chip_equivalence, "run_all", lambda: dict(bad))
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        chip_equivalence.main()
+    with open(path) as f:
+        merged2 = json.load(f)
+    assert merged2["pass"] is False
+    assert merged2["results"]["kern_new"]["pass"] is False
